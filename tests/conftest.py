@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Device tests run on a virtual 8-device CPU mesh (multi-chip shardings are
+validated without TPU hardware, per the build contract); host-layer tests
+never touch JAX.  Must set env vars before anything imports jax.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+from zkecdsa_tpu.utils import rng  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def deterministic_rng():
+    """Every test runs on a reproducible random tape."""
+    with rng.deterministic(0xC0FFEE):
+        yield
