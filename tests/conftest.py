@@ -7,7 +7,9 @@ never touch JAX.  Must set env vars before anything imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment ships JAX_PLATFORMS=axon (one tunneled TPU chip); tests
+# must run on the virtual CPU mesh, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,3 +26,12 @@ def deterministic_rng():
     """Every test runs on a reproducible random tape."""
     with rng.deterministic(0xC0FFEE):
         yield
+
+
+def pytest_configure(config):
+    # Persistent XLA compilation cache: the limb/curve kernels are large
+    # graphs; caching makes repeated test runs cheap.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
