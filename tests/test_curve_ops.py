@@ -1,0 +1,124 @@
+"""Batched device curve kernels vs the host scalar layer.
+
+All device computations per curve run in ONE jitted function (single
+trace/compile), then individual tests assert against host-layer results.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zkecdsa_tpu.curves import p256, tomEdwards256
+from zkecdsa_tpu.ops.curve_ops import nibble_digits, p256_ops, tom_ops
+
+B = 4
+
+
+def _build(ops, g):
+    rand = random.Random(77)
+    G = g.generator()
+    pts = [G.mul(g.new_scalar(rand.randrange(1, g.order))) for _ in range(B)]
+    qts = [G.mul(g.new_scalar(rand.randrange(1, g.order))) for _ in range(B)]
+    ss = [rand.randrange(g.order) for _ in range(B - 1)] + [0]
+    s2 = [rand.randrange(g.order) for _ in range(B)]
+    P = jnp.asarray(ops.pack_points(pts))
+    Q = jnp.asarray(ops.pack_points(qts))
+    d1 = jnp.asarray(nibble_digits(ss))
+    d2 = jnp.asarray(nibble_digits(s2))
+
+    @jax.jit
+    def everything(P, Q, d1, d2):
+        ident = ops.identity((B,))
+        return {
+            "add": ops.add(P, Q),
+            "dbl": ops.dbl(P),
+            "self_add": ops.add(P, P),
+            "neg": ops.neg(P),
+            "add_ident": ops.add(P, ident),
+            "p_minus_p": ops.is_identity(ops.add(P, ops.neg(P))),
+            "smul": ops.scalar_mul(P, d1),
+            "dmul": ops.double_mul(P, d1, Q, d2),
+            "msm": ops.msm(P, d1),
+            "affine": ops.to_affine(P),
+            "ident_affine": ops.to_affine(ident),
+        }
+
+    out = jax.tree.map(lambda x: x, everything(P, Q, d1, d2))
+    return ops, g, pts, qts, ss, s2, out
+
+
+@pytest.fixture(scope="module", params=["p256", "tom"])
+def case(request):
+    if request.param == "p256":
+        return _build(p256_ops, p256)
+    return _build(tom_ops, tomEdwards256)
+
+
+def test_add_dbl_neg_identity(case):
+    ops, g, pts, qts, ss, s2, out = case
+    got = ops.unpack_points(out["add"])
+    assert all(a.add(b).eq(o) for a, b, o in zip(pts, qts, got))
+    got = ops.unpack_points(out["dbl"])
+    assert all(h.dbl().eq(o) for h, o in zip(pts, got))
+    # complete formulas: add(P, P) == dbl(P)
+    got = ops.unpack_points(out["self_add"])
+    assert all(h.dbl().eq(o) for h, o in zip(pts, got))
+    got = ops.unpack_points(out["neg"])
+    assert all(h.neg().eq(o) for h, o in zip(pts, got))
+    got = ops.unpack_points(out["add_ident"])
+    assert all(h.eq(o) for h, o in zip(pts, got))
+    assert bool(out["p_minus_p"].all())
+
+
+def test_scalar_mul_matches_host(case):
+    ops, g, pts, qts, ss, s2, out = case
+    got = ops.unpack_points(out["smul"])
+    expect = [h.mul(g.new_scalar(s)) for h, s in zip(pts, ss)]
+    assert all(h.eq(o) for h, o in zip(expect, got))
+
+
+def test_double_mul_matches_host(case):
+    ops, g, pts, qts, ss, s2, out = case
+    got = ops.unpack_points(out["dmul"])
+    expect = [
+        p.dblmul(g.new_scalar(a), q, g.new_scalar(b))
+        for p, q, a, b in zip(pts, qts, ss, s2)
+    ]
+    assert all(h.eq(o) for h, o in zip(expect, got))
+
+
+def test_msm_matches_host(case):
+    ops, g, pts, qts, ss, s2, out = case
+    got = ops.unpack_points(out["msm"][None])[0]
+    acc = g.identity()
+    for h, s in zip(pts, ss):
+        acc = acc.add(h.mul(g.new_scalar(s)))
+    assert acc.eq(got)
+
+
+def test_to_affine_matches_host(case):
+    ops, g, pts, qts, ss, s2, out = case
+    x, y, inf = out["affine"]
+    xs, ys = ops.f.unpack(x), ops.f.unpack(y)
+    assert not bool(inf.any())
+    for h, xx, yy in zip(pts, xs, ys):
+        assert h.to_affine() == (xx, yy)
+    ix, iy, iinf = out["ident_affine"]
+    if ops is p256_ops:
+        # Weierstrass identity (0:1:0) is at infinity
+        assert bool(iinf.all())
+    else:
+        # Edwards identity (0:1:0:1) is the affine point (0, 1)
+        assert not bool(iinf.any())
+        assert ops.f.unpack(ix) == [0] * B and ops.f.unpack(iy) == [1] * B
+
+
+def test_sum_reduce_odd_padding():
+    # non-power-of-two reduction pads with the identity
+    ops, g = tom_ops, tomEdwards256
+    pts = [g.generator().mul(g.new_scalar(k)) for k in (3, 5, 9)]
+    P = jnp.asarray(ops.pack_points(pts))
+    got = ops.unpack_points(ops.sum_reduce(P)[None])[0]
+    assert got.eq(g.generator().mul(g.new_scalar(17)))

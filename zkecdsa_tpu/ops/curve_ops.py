@@ -1,0 +1,371 @@
+"""Batched elliptic-curve kernels on limb arrays (the TPU curve layer).
+
+A batch of points is a ``uint32`` array ``[..., C, L]`` (C = 3 projective
+coordinates for Weierstrass, 4 extended coordinates for Edwards; L = field
+limbs, Montgomery domain).  All formulas are the *complete/unified*
+published ones - Renes-Costello-Batina 2015 for a = -3 short Weierstrass,
+Hisil et al. 2008 for twisted Edwards - the same algebra as the host layer
+(zkecdsa_tpu/curves/weier.py, edwards.py), evaluated branchlessly so
+identity and doubling cases need no control flow: exactly what XLA wants.
+
+Scalar multiplication uses the reference's 4-bit fixed-window shape
+(reference src/curves/group.ts:133-152) as a ``lax.scan`` over nibble
+columns with a per-point 16-entry table; ``double_mul`` shares the
+doublings (group.ts:97-132).  ``msm`` evaluates sum(s_i P_i) by running all
+per-term multiplies in parallel lanes and tree-reducing - the batched
+replacement for the reference's sequential Bos-Coster heap
+(multimult.ts:61-145).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import BASE_BITS, FieldCtx, P256_P, TOM_P, WAR_P
+
+__all__ = [
+    "WeierOps",
+    "EdwardsOps",
+    "p256_ops",
+    "tom_ops",
+    "war_ops",
+    "nibble_digits",
+]
+
+WINDOW = 4
+NDIGITS_256 = 64  # 256-bit scalars, 4-bit windows
+TABLE = 1 << WINDOW
+
+
+def nibble_digits(scalars, width: int = NDIGITS_256) -> np.ndarray:
+    """Base-16 digits, most significant first: [N, width] int32."""
+    out = np.zeros((len(scalars), width), dtype=np.int32)
+    for i, s in enumerate(scalars):
+        for j in range(width):
+            out[i, width - 1 - j] = (s >> (4 * j)) & 0xF
+    return out
+
+
+class CurveOps:
+    """Shared machinery; subclasses provide the group law."""
+
+    NCOORD: int = 3
+
+    def __init__(self, field: FieldCtx) -> None:
+        self.f = field
+
+    # -- subclass interface -------------------------------------------------
+    def add(self, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def dbl(self, P: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def neg(self, P: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def identity_coords(self) -> np.ndarray:
+        raise NotImplementedError
+
+    # -- generic ------------------------------------------------------------
+    def identity(self, batch_shape: tuple = ()) -> jnp.ndarray:
+        ident = jnp.asarray(self.identity_coords(), jnp.uint32)
+        return jnp.broadcast_to(ident, batch_shape + ident.shape)
+
+    def select(self, mask: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+        """mask ? P : Q, mask shaped like the batch."""
+        return jnp.where(mask[..., None, None], P, Q)
+
+    def table(self, P: jnp.ndarray) -> jnp.ndarray:
+        """[..., 16, C, L] window table of small multiples 0..15."""
+
+        def step(acc, _):
+            nxt = self.add(acc, P)
+            return nxt, nxt
+
+        ident = self.identity(P.shape[:-2])
+        _, rest = jax.lax.scan(step, ident, None, length=TABLE - 1)
+        # rest: [15, ..., C, L] -> [..., 15, C, L]
+        rest = jnp.moveaxis(rest, 0, -3)
+        return jnp.concatenate([ident[..., None, :, :], rest], axis=-3)
+
+    def _gather(self, table: jnp.ndarray, digit: jnp.ndarray) -> jnp.ndarray:
+        """table [..., 16, C, L], digit [...] -> [..., C, L]."""
+        idx = digit[..., None, None, None].astype(jnp.int32)
+        return jnp.take_along_axis(table, idx, axis=-3)[..., 0, :, :]
+
+    def scalar_mul(self, P: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+        """P * s with s given as MSB-first 4-bit digits [..., D]
+        (group.ts:133-152 windowing, batched)."""
+        tab = self.table(P)
+
+        def step(acc, digit):
+            acc = self.dbl(self.dbl(self.dbl(self.dbl(acc))))
+            return self.add(acc, self._gather(tab, digit)), None
+
+        acc, _ = jax.lax.scan(
+            step, self.identity(P.shape[:-2]), jnp.moveaxis(digits, -1, 0)
+        )
+        return acc
+
+    def double_mul(
+        self,
+        P: jnp.ndarray,
+        dP: jnp.ndarray,
+        Q: jnp.ndarray,
+        dQ: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """dP*P + dQ*Q with shared doublings (Shamir; group.ts:97-132)."""
+        tp = self.table(P)
+        tq = self.table(Q)
+
+        def step(acc, ds):
+            dp, dq = ds
+            acc = self.dbl(self.dbl(self.dbl(self.dbl(acc))))
+            acc = self.add(acc, self._gather(tp, dp))
+            return self.add(acc, self._gather(tq, dq)), None
+
+        acc, _ = jax.lax.scan(
+            step,
+            self.identity(P.shape[:-2]),
+            (jnp.moveaxis(dP, -1, 0), jnp.moveaxis(dQ, -1, 0)),
+        )
+        return acc
+
+    def sum_reduce(self, P: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+        """Tree-sum of points along an axis (log-depth, complete formulas
+        make masking unnecessary - padding uses the identity)."""
+        P = jnp.moveaxis(P, axis, 0)
+        n = P.shape[0]
+        steps = max(1, (n - 1).bit_length())
+        size = 1 << steps
+        if size != n:
+            pad = self.identity((size - n,) + P.shape[1:-2])
+            P = jnp.concatenate([P, pad], axis=0)
+        for _ in range(steps):
+            half = P.shape[0] // 2
+            P = self.add(P[:half], P[half:])
+        return P[0]
+
+    def msm(self, points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+        """sum_i s_i * P_i: per-term windowed multiplies in parallel lanes,
+        then one tree reduction.  points [N, C, L], digits [N, D]."""
+        return self.sum_reduce(self.scalar_mul(points, digits), axis=0)
+
+    def eq(self, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+        """Projective equality via cross-multiplication (batched)."""
+        f = self.f
+        x1, y1, z1 = P[..., 0, :], P[..., 1, :], P[..., -1, :]
+        x2, y2, z2 = Q[..., 0, :], Q[..., 1, :], Q[..., -1, :]
+        ex = f.equal(f.mul(x1, z2), f.mul(x2, z1))
+        ey = f.equal(f.mul(y1, z2), f.mul(y2, z1))
+        return ex & ey
+
+    def is_identity(self, P: jnp.ndarray) -> jnp.ndarray:
+        return self.eq(P, self.identity(P.shape[:-2]))
+
+    def to_affine(self, P: jnp.ndarray):
+        """Batch affine conversion: one Fermat inversion per batch via
+        batch_inv.  Returns (x, y, is_infinity); infinity yields (0, 0)."""
+        f = self.f
+        z = P[..., -1, :]
+        shape = z.shape
+        zinv = f.batch_inv(z.reshape(-1, shape[-1])).reshape(shape)
+        x = f.mul(P[..., 0, :], zinv)
+        y = f.mul(P[..., 1, :], zinv)
+        return x, y, f.is_zero(z)
+
+    # -- host packing -------------------------------------------------------
+
+    def pack_points(self, pts) -> np.ndarray:
+        """Host curve points -> [N, C, L] uint32 (Montgomery)."""
+        raise NotImplementedError
+
+    def unpack_points(self, arr):
+        """[N, C, L] -> list of host curve points."""
+        raise NotImplementedError
+
+
+class WeierOps(CurveOps):
+    """Short Weierstrass, a = -3, homogeneous projective (X:Y:Z);
+    identity (0:1:0).  RCB15 complete formulas (cf. weier.ts:133-230)."""
+
+    NCOORD = 3
+
+    def __init__(self, field: FieldCtx, b: int, group) -> None:
+        super().__init__(field)
+        self.b = field.const(b)
+        self.group = group  # host group for unpack
+
+    def identity_coords(self) -> np.ndarray:
+        L = self.f.nlimbs
+        out = np.zeros((3, L), dtype=np.uint32)
+        out[1] = self.f.pack_scalar(1)
+        return out
+
+    def add(self, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+        f, b = self.f, self.b
+        x1, y1, z1 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
+        x2, y2, z2 = Q[..., 0, :], Q[..., 1, :], Q[..., 2, :]
+        m0 = f.mul(x1, x2)
+        m1 = f.mul(y1, y2)
+        m2 = f.mul(z1, z2)
+        sxy = f.sub(f.sub(f.mul(f.add(x1, y1), f.add(x2, y2)), m0), m1)
+        syz = f.sub(f.sub(f.mul(f.add(y1, z1), f.add(y2, z2)), m1), m2)
+        sxz = f.sub(f.sub(f.mul(f.add(x1, z1), f.add(x2, z2)), m0), m2)
+        w = f.mul_small(f.sub(sxz, f.mul(b, m2)), 3)
+        zc = f.sub(m1, w)
+        xc = f.add(m1, w)
+        v = f.mul_small(f.sub(f.sub(f.mul(b, sxz), f.mul_small(m2, 3)), m0), 3)
+        u = f.mul_small(f.sub(m0, m2), 3)
+        x3 = f.sub(f.mul(sxy, xc), f.mul(syz, v))
+        y3 = f.add(f.mul(xc, zc), f.mul(u, v))
+        z3 = f.add(f.mul(syz, zc), f.mul(sxy, u))
+        return jnp.stack([x3, y3, z3], axis=-2)
+
+    def dbl(self, P: jnp.ndarray) -> jnp.ndarray:
+        f, b = self.f, self.b
+        x, y, z = P[..., 0, :], P[..., 1, :], P[..., 2, :]
+        xx = f.mul(x, x)
+        yy = f.mul(y, y)
+        zz = f.mul(z, z)
+        xy2 = f.dbl(f.mul(x, y))
+        xz2 = f.dbl(f.mul(x, z))
+        yz2 = f.dbl(f.mul(y, z))
+        w = f.mul_small(f.sub(f.mul(b, zz), xz2), 3)
+        zc = f.sub(yy, w)
+        xc = f.add(yy, w)
+        v = f.mul_small(f.sub(f.sub(f.mul(b, xz2), f.mul_small(zz, 3)), xx), 3)
+        u = f.mul_small(f.sub(xx, zz), 3)
+        x3 = f.sub(f.mul(xy2, zc), f.mul(yz2, v))
+        y3 = f.add(f.mul(xc, zc), f.mul(u, v))
+        z3 = f.mul_small(f.mul(yz2, yy), 4)
+        return jnp.stack([x3, y3, z3], axis=-2)
+
+    def neg(self, P: jnp.ndarray) -> jnp.ndarray:
+        y = self.f.neg(P[..., 1, :])
+        return jnp.concatenate(
+            [P[..., :1, :], y[..., None, :], P[..., 2:, :]], axis=-2
+        )
+
+    def pack_points(self, pts) -> np.ndarray:
+        xs, ys, zs = [], [], []
+        for pt in pts:
+            xs.append(pt.x)
+            ys.append(pt.y)
+            zs.append(pt.z)
+        return np.stack(
+            [self.f.pack(xs), self.f.pack(ys), self.f.pack(zs)], axis=1
+        )
+
+    def unpack_points(self, arr):
+        from ..curves.weier import WeierstrassPoint
+
+        a = np.asarray(arr).reshape(-1, 3, self.f.nlimbs)
+        xs = self.f.unpack(a[:, 0])
+        ys = self.f.unpack(a[:, 1])
+        zs = self.f.unpack(a[:, 2])
+        return [
+            WeierstrassPoint(self.group, x, y, z) for x, y, z in zip(xs, ys, zs)
+        ]
+
+
+class EdwardsOps(CurveOps):
+    """Twisted Edwards extended coordinates (X:Y:T:Z); identity (0:1:0:1).
+    HWCD08 unified formulas (cf. edwards.ts:141-183)."""
+
+    NCOORD = 4
+
+    def __init__(self, field: FieldCtx, a: int, d: int, group) -> None:
+        super().__init__(field)
+        self.a = field.const(a)
+        self.d = field.const(d)
+        self.group = group
+
+    def identity_coords(self) -> np.ndarray:
+        L = self.f.nlimbs
+        out = np.zeros((4, L), dtype=np.uint32)
+        out[1] = self.f.pack_scalar(1)
+        out[3] = self.f.pack_scalar(1)
+        return out
+
+    def add(self, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+        f = self.f
+        x1, y1, t1, z1 = (P[..., i, :] for i in range(4))
+        x2, y2, t2, z2 = (Q[..., i, :] for i in range(4))
+        A = f.mul(x1, x2)
+        B = f.mul(y1, y2)
+        C = f.mul(self.d, f.mul(t1, t2))
+        D = f.mul(z1, z2)
+        E = f.sub(f.sub(f.mul(f.add(x1, y1), f.add(x2, y2)), A), B)
+        F = f.sub(D, C)
+        G = f.add(D, C)
+        H = f.sub(B, f.mul(self.a, A))
+        return jnp.stack(
+            [f.mul(E, F), f.mul(G, H), f.mul(E, H), f.mul(F, G)], axis=-2
+        )
+
+    def dbl(self, P: jnp.ndarray) -> jnp.ndarray:
+        f = self.f
+        x, y, z = P[..., 0, :], P[..., 1, :], P[..., 3, :]
+        A = f.mul(x, x)
+        B = f.mul(y, y)
+        C = f.dbl(f.mul(z, z))
+        D = f.mul(self.a, A)
+        xy = f.add(x, y)
+        E = f.sub(f.sub(f.mul(xy, xy), A), B)
+        G = f.add(D, B)
+        F = f.sub(G, C)
+        H = f.sub(D, B)
+        return jnp.stack(
+            [f.mul(E, F), f.mul(G, H), f.mul(E, H), f.mul(F, G)], axis=-2
+        )
+
+    def neg(self, P: jnp.ndarray) -> jnp.ndarray:
+        f = self.f
+        x = f.neg(P[..., 0, :])
+        t = f.neg(P[..., 2, :])
+        return jnp.stack(
+            [x, P[..., 1, :], t, P[..., 3, :]], axis=-2
+        )
+
+    def pack_points(self, pts) -> np.ndarray:
+        xs, ys, ts, zs = [], [], [], []
+        for pt in pts:
+            xs.append(pt.x)
+            ys.append(pt.y)
+            ts.append(pt.t)
+            zs.append(pt.z)
+        return np.stack(
+            [self.f.pack(xs), self.f.pack(ys), self.f.pack(ts), self.f.pack(zs)],
+            axis=1,
+        )
+
+    def unpack_points(self, arr):
+        from ..curves.edwards import TEdwardsPoint
+
+        a = np.asarray(arr).reshape(-1, 4, self.f.nlimbs)
+        xs = self.f.unpack(a[:, 0])
+        ys = self.f.unpack(a[:, 1])
+        ts = self.f.unpack(a[:, 2])
+        zs = self.f.unpack(a[:, 3])
+        return [
+            TEdwardsPoint(self.group, x, y, t, z)
+            for x, y, t, z in zip(xs, ys, ts, zs)
+        ]
+
+
+def _make_ops():
+    from ..curves import instances as inst
+
+    p256_ops = WeierOps(P256_P, inst.p256.b, inst.p256)
+    tom_ops = EdwardsOps(
+        TOM_P, inst.tomEdwards256.a, inst.tomEdwards256.d, inst.tomEdwards256
+    )
+    war_ops = WeierOps(WAR_P, inst.war256.b, inst.war256)
+    return p256_ops, tom_ops, war_ops
+
+
+p256_ops, tom_ops, war_ops = _make_ops()
