@@ -1,0 +1,70 @@
+"""Batched prover vs host prover: bit-exact wire equality under identical
+per-instance random tapes (the correctness contract for configs 2/4)."""
+
+import hashlib
+
+import pytest
+
+from zkecdsa_tpu import ecdsa
+from zkecdsa_tpu.protocol.batch import BatchProver
+from zkecdsa_tpu.serde import write_json
+from zkecdsa_tpu.utils import rng
+from zkecdsa_tpu.zkp_attest_list import (
+    SignatureProofList,
+    generate_params_list,
+    prove_signature_list,
+    verify_signature_list,
+)
+
+N = 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    with rng.deterministic(123):
+        params = generate_params_list()
+        msgs, sigs, pubs, whichs, ring = [], [], [], [], []
+        for i in range(N):
+            kp = ecdsa.generate_keypair()
+            msg = f"message {i}".encode()
+            sigs.append(ecdsa.sign(kp, msg))
+            pub = ecdsa.export_public_raw(kp)
+            msgs.append(hashlib.sha256(msg).digest())
+            pubs.append(pub)
+            ring.append(ecdsa.key_to_int(pub))
+            whichs.append(i)
+        ring += [101, 103]
+    host_proofs = []
+    for i in range(N):
+        with rng.scoped(rng.DeterministicSource(1000 + i)):
+            host_proofs.append(
+                prove_signature_list(
+                    params, msgs[i], sigs[i], pubs[i], whichs[i], ring
+                )
+            )
+    tapes = [rng.DeterministicSource(1000 + i) for i in range(N)]
+    batch_proofs = BatchProver(params).prove(
+        msgs, sigs, pubs, whichs, ring, tapes
+    )
+    return params, msgs, ring, host_proofs, batch_proofs
+
+
+def test_batched_prover_bit_exact(setup):
+    params, msgs, ring, host_proofs, batch_proofs = setup
+    for hp, bp in zip(host_proofs, batch_proofs):
+        assert bp.eq(hp)
+        assert write_json(SignatureProofList, bp) == write_json(
+            SignatureProofList, hp
+        )
+
+
+def test_batched_proofs_verify(setup):
+    params, msgs, ring, host_proofs, batch_proofs = setup
+    for i, bp in enumerate(batch_proofs):
+        assert verify_signature_list(params, msgs[i], ring, bp)
+
+
+def test_batched_proof_bound_to_instance(setup):
+    params, msgs, ring, host_proofs, batch_proofs = setup
+    # proof for instance 0 must not verify for instance 1's message
+    assert not verify_signature_list(params, msgs[1], ring, batch_proofs[0])

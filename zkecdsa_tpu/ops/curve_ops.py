@@ -92,21 +92,60 @@ class CurveOps:
         return jnp.concatenate([ident[..., None, :, :], rest], axis=-3)
 
     def _gather(self, table: jnp.ndarray, digit: jnp.ndarray) -> jnp.ndarray:
-        """table [..., 16, C, L], digit [...] -> [..., C, L]."""
-        idx = digit[..., None, None, None].astype(jnp.int32)
+        """table [..., 16, C, L], digit [...] -> [..., C, L]; table batch
+        dims broadcast against the digit batch."""
+        batch = jnp.broadcast_shapes(table.shape[:-3], digit.shape)
+        table = jnp.broadcast_to(table, batch + table.shape[-3:])
+        idx = jnp.broadcast_to(
+            digit[..., None, None, None].astype(jnp.int32),
+            batch + (1,) + table.shape[-2:],
+        )
         return jnp.take_along_axis(table, idx, axis=-3)[..., 0, :, :]
 
-    def scalar_mul(self, P: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
-        """P * s with s given as MSB-first 4-bit digits [..., D]
-        (group.ts:133-152 windowing, batched)."""
-        tab = self.table(P)
+    def scalar_mul_table(self, tab: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+        """Windowed multiply from a precomputed table [..., 16, C, L] and
+        MSB-first digits [..., D]; table batch dims broadcast against the
+        digit batch (one table can serve many scalars - e.g. the per-proof
+        base R across all 80 exp rounds, or a static Pedersen base)."""
+        batch = jnp.broadcast_shapes(tab.shape[:-3], digits.shape[:-1])
 
         def step(acc, digit):
             acc = self.dbl(self.dbl(self.dbl(self.dbl(acc))))
             return self.add(acc, self._gather(tab, digit)), None
 
         acc, _ = jax.lax.scan(
-            step, self.identity(P.shape[:-2]), jnp.moveaxis(digits, -1, 0)
+            step, self.identity(batch), jnp.moveaxis(digits, -1, 0)
+        )
+        return acc
+
+    def scalar_mul(self, P: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+        """P * s with s given as MSB-first 4-bit digits [..., D]
+        (group.ts:133-152 windowing, batched)."""
+        return self.scalar_mul_table(self.table(P), digits)
+
+    def double_mul_tables(
+        self,
+        tp: jnp.ndarray,
+        dP: jnp.ndarray,
+        tq: jnp.ndarray,
+        dQ: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """dP*P + dQ*Q from precomputed tables, shared doublings
+        (Shamir; group.ts:97-132)."""
+        batch = jnp.broadcast_shapes(
+            tp.shape[:-3], tq.shape[:-3], dP.shape[:-1], dQ.shape[:-1]
+        )
+
+        def step(acc, ds):
+            dp, dq = ds
+            acc = self.dbl(self.dbl(self.dbl(self.dbl(acc))))
+            acc = self.add(acc, self._gather(tp, dp))
+            return self.add(acc, self._gather(tq, dq)), None
+
+        acc, _ = jax.lax.scan(
+            step,
+            self.identity(batch),
+            (jnp.moveaxis(dP, -1, 0), jnp.moveaxis(dQ, -1, 0)),
         )
         return acc
 
@@ -118,21 +157,7 @@ class CurveOps:
         dQ: jnp.ndarray,
     ) -> jnp.ndarray:
         """dP*P + dQ*Q with shared doublings (Shamir; group.ts:97-132)."""
-        tp = self.table(P)
-        tq = self.table(Q)
-
-        def step(acc, ds):
-            dp, dq = ds
-            acc = self.dbl(self.dbl(self.dbl(self.dbl(acc))))
-            acc = self.add(acc, self._gather(tp, dp))
-            return self.add(acc, self._gather(tq, dq)), None
-
-        acc, _ = jax.lax.scan(
-            step,
-            self.identity(P.shape[:-2]),
-            (jnp.moveaxis(dP, -1, 0), jnp.moveaxis(dQ, -1, 0)),
-        )
-        return acc
+        return self.double_mul_tables(self.table(P), dP, self.table(Q), dQ)
 
     def sum_reduce(self, P: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
         """Tree-sum of points along an axis (log-depth, complete formulas

@@ -1,0 +1,614 @@
+"""Batched ZKAttest prover - the TPU-native pipeline (configs 2-4 of
+BASELINE.md).
+
+Redesign of the reference's sequential prover (reference
+src/zkpAttestList.ts:104-145, src/exp/exp.ts:126-231) as phase-structured
+batched computation:
+
+* phase A (device): R/Q recovery, all commitments and the 80 exp rounds'
+  T/A/Tx/Ty for every instance at once - [N] and [N, 80] batches;
+* challenge (host): Fiat-Shamir over serialized points, per instance;
+* phase B (device): the even-bit branch (T1, coordinate commitments, all
+  point-add sub-proof commitments) computed for ALL rounds - static shapes,
+  the challenge bit only selects which response shape is assembled;
+* responses (host): scalar arithmetic + proof-object assembly, producing
+  the same ``SignatureProofList`` objects (and wire bytes) as the host
+  scalar prover.
+
+Randomness: each instance draws its tape through the rng seam in exactly
+the reference's order, so a batched proof is bit-identical to the host
+prover run under the same per-instance source (tested in
+tests/test_batch_prove.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bignum import big
+from ..commit.equality import EqualityProof
+from ..commit.mult import MultProof
+from ..commit.pedersen import Commitment, PedersenParams
+from ..curves.edwards import TEdwardsPoint
+from ..curves.group import Scalar, hash_points
+from ..curves.instances import p256, tomEdwards256
+from ..curves.weier import WeierstrassPoint
+from ..exp.exp import ExpProof
+from ..exp.pointAdd import PointAddProof
+from ..proofGK.gk import GKProof
+from ..proofGK.interpolate import interpolate
+from ..utils import rng
+from ..zkp_attest_list import SignatureProofList, SystemParametersList, _truncate_to_n
+from ..ops.curve_ops import p256_ops, tom_ops
+from ..ops.limbs import P256_N, TOM_N, BASE_BITS
+
+__all__ = ["BatchProver", "batched_prove_signature_list"]
+
+SECPARAM = 80
+
+
+# ---------------------------------------------------------------------------
+# device helpers
+# ---------------------------------------------------------------------------
+
+def _digits_of(ctx, x: jnp.ndarray) -> jnp.ndarray:
+    """Standard-domain limbs [..., L] -> MSB-first 4-bit digits [..., 4L]."""
+    parts = []
+    for i in reversed(range(ctx.nlimbs)):
+        limb = x[..., i]
+        for shift in (12, 8, 4, 0):
+            parts.append((limb >> shift) & 0xF)
+    return jnp.stack(parts, axis=-1).astype(jnp.int32)
+
+
+def _std(ctx, x_mont: jnp.ndarray) -> jnp.ndarray:
+    return ctx.from_mont(x_mont)
+
+
+class DeviceParams:
+    """Device-side precomputation for one SystemParametersList: window
+    tables for the four static bases (Tom g/h, P-256 G/h)."""
+
+    def __init__(self, params: SystemParametersList) -> None:
+        self.params = params
+        self.tab_g_tom = tom_ops.table(
+            jnp.asarray(tom_ops.pack_points([params.proof_group.g])[0])
+        )
+        self.tab_h_tom = tom_ops.table(
+            jnp.asarray(tom_ops.pack_points([params.proof_group.h])[0])
+        )
+        self.tab_G = p256_ops.table(
+            jnp.asarray(p256_ops.pack_points([p256.generator()])[0])
+        )
+        self.tab_h_nist = p256_ops.table(
+            jnp.asarray(p256_ops.pack_points([params.nist_group.h])[0])
+        )
+
+    # -- batched commitment on the proof group: g*v + h*r ------------------
+    def commit_tom(self, v_std: jnp.ndarray, r_std: jnp.ndarray) -> jnp.ndarray:
+        return tom_ops.double_mul_tables(
+            self.tab_g_tom,
+            _digits_of(TOM_N, v_std),
+            self.tab_h_tom,
+            _digits_of(TOM_N, r_std),
+        )
+
+
+@functools.lru_cache(maxsize=8)
+def _phase_fns(dev_id: int):
+    """jitted phase functions bound to a DeviceParams instance (cached by
+    object id; DeviceParams lives as long as the BatchProver)."""
+    dev = _DEV_REGISTRY[dev_id]
+    fw = p256_ops.f  # P-256 base field
+    ft = tom_ops.f  # Tom base field
+    fn = P256_N  # P-256 scalar field
+    fo = TOM_N  # Tom scalar field (== P-256 base prime)
+
+    def tom_affine_std(P):
+        x, y, _ = tom_ops.to_affine(P)
+        return _std(ft, x), _std(ft, y)
+
+    def nist_affine_std(P):
+        x, y, inf = p256_ops.to_affine(P)
+        return _std(fw, x), _std(fw, y), inf
+
+    def phase_a(pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
+                alpha, r_rnd, txr, tyr):
+        # R = u1*G + u2*PK; Q = z1*G  (zkpAttestList.ts:125-136)
+        tab_pk = p256_ops.table(pk)
+        R = p256_ops.double_mul_tables(
+            dev.tab_G, _digits_of(fn, u1), tab_pk, _digits_of(fn, u2)
+        )
+        Q = p256_ops.scalar_mul_table(dev.tab_G, _digits_of(fn, z1))
+        tab_R = p256_ops.table(R)
+        # comS1 = s1*R + com_r*h_nist (pedersen.ts:53-58 with g := R)
+        comS1 = p256_ops.double_mul_tables(
+            tab_R, _digits_of(fn, s1), dev.tab_h_nist, _digits_of(fn, com_r)
+        )
+        # pkX, pkY: one stacked commit [N, 2]
+        pkC = dev.commit_tom(
+            jnp.stack([pkx_v, pky_v], axis=-2), jnp.stack([pkx_r, pky_r], axis=-2)
+        )
+        # 80 rounds: T_i = alpha_i * R ; A_i = T_i + r_i * h  (exp.ts:144-150)
+        T = p256_ops.scalar_mul_table(
+            tab_R[:, None], _digits_of(fn, alpha)
+        )  # [N, 80, 3, L]
+        Hr = p256_ops.scalar_mul_table(dev.tab_h_nist, _digits_of(fn, r_rnd))
+        A = p256_ops.add(T, Hr)
+        # one affine pass for T and A together
+        ta_x, ta_y, _ = nist_affine_std(jnp.stack([T, A], axis=-3))
+        Tx_v, Ty_v = ta_x[..., 0, :], ta_y[..., 0, :]
+        # Tx/Ty coordinate commitments: one stacked commit [N, 80, 2]
+        TC = dev.commit_tom(
+            jnp.stack([Tx_v, Ty_v], axis=-2), jnp.stack([txr, tyr], axis=-2)
+        )
+        small_x, small_y, _ = nist_affine_std(jnp.stack([R, Q, comS1], axis=-3))
+        pk_aff = tom_affine_std(pkC)
+        tc_aff = tom_affine_std(TC)
+        return {
+            "Q": Q, "tab_R": tab_R, "TC": TC, "pkC": pkC,
+            "small_aff": (small_x, small_y),  # [N, 3(R,Q,comS1), L]
+            "TA_aff": (ta_x, ta_y),  # [N, 80, 2(T,A), L]
+            "T_v": (Tx_v, Ty_v),
+            "pk_aff": pk_aff,  # [N, 2, L]
+            "TC_aff": tc_aff,  # [N, 80, 2, L]
+        }
+
+    def phase_b(tab_R, Q, TxC, pkX, pkY, Tx_v, pkx_v, pky_v,
+                z, com_vals, com_blinds):
+        """com_vals/com_blinds: [N, 80, K, L] stacked Pedersen inputs in the
+        _BSTACK slot order; values at slots 0/1 (t1x/t1y) are placeholders
+        overwritten here once T1 is known.  One commit call, one stacked
+        C4/A42 multiply, one stacked affine conversion."""
+        # T1 = z*R + Q  (exp.ts:190-193), all rounds; odd-bit rounds are
+        # discarded at assembly (static shapes, masked semantics).
+        T1 = p256_ops.add(
+            p256_ops.scalar_mul_table(tab_R[:, None], _digits_of(fn, z)),
+            Q[:, None],
+        )
+        t1x, t1y, _ = nist_affine_std(T1)
+        # chord-rule intermediates over the Tom order (pointAdd.ts:119-136)
+        # P := T1 (x1), Q := pk (x2), R := T (x3)
+        t1x_m, t1y_m = fo.to_mont(t1x), fo.to_mont(t1y)
+        pkx_m, pky_m = fo.to_mont(pkx_v[:, None]), fo.to_mont(pky_v[:, None])
+        txv_m = fo.to_mont(Tx_v)
+        i7 = fo.sub(pkx_m, t1x_m)
+        i8 = fo.batch_inv(i7.reshape(-1, i7.shape[-1])).reshape(i7.shape)
+        i9 = fo.sub(pky_m, t1y_m)
+        i10 = fo.mul(i8, i9)
+        i11 = fo.mul(i10, i10)
+        i12 = fo.sub(t1x_m, txv_m)
+        i13 = fo.mul(i10, i12)
+        ints_std = [_std(fo, v) for v in (i7, i8, i9, i10, i11, i12, i13)]
+        # fill computed values into the commit stack (slots 0..5)
+        fills = [t1x, t1y, ints_std[1], ints_std[3], ints_std[4], ints_std[6]]
+        com_vals = com_vals.at[..., :6, :].set(jnp.stack(fills, axis=-2))
+        commits = dev.commit_tom(com_vals, com_blinds)  # [N, 80, K, 4, L]
+        T1xC = commits[..., 0, :, :]
+        T1yC = commits[..., 1, :, :]
+        # homomorphic difference commitments (pointAdd.ts:137-143)
+        C9 = tom_ops.add(pkY[:, None], tom_ops.neg(T1yC))
+        C12 = tom_ops.add(T1xC, tom_ops.neg(TxC))
+        # four product sub-proofs (pointAdd.ts:145-156): per sub-proof j,
+        # C4_j = x_j * Cy_j and A42_j = kx_j * Cy_j, stacked into one
+        # table + two multiplies over a [N, 80, 4] sub-batch.
+        cys = jnp.stack(
+            [commits[..., 2, :, :], C9, commits[..., 3, :, :], C12], axis=-3
+        )  # [N, 80, 4, 4, L]
+        xs = jnp.stack(
+            [ints_std[0], ints_std[1], ints_std[3], ints_std[3]], axis=-2
+        )  # [N, 80, 4, L]
+        tab_cy = tom_ops.table(cys)
+        C4s = tom_ops.scalar_mul_table(tab_cy, _digits_of(fo, xs))
+        kx = com_vals[..., 6:10, :]
+        A42s = tom_ops.scalar_mul_table(tab_cy, _digits_of(fo, kx))
+        # one affine conversion for every Tom point produced here
+        tom_stack = jnp.concatenate([commits, C4s, A42s], axis=-3)
+        sx, sy = tom_affine_std(tom_stack)  # [N, 80, K+8, L]
+        return {
+            "T1_aff": (t1x, t1y),
+            "tom_aff": (sx, sy),
+            "ints": ints_std,
+        }
+
+    # The building blocks inside (scans) compile and cache individually;
+    # whole-phase jit would produce multi-hundred-thousand-op XLA modules.
+    return phase_a, phase_b
+
+
+# Slot order of the stacked phase-B Pedersen commitments.  Values for slots
+# 0..5 are computed on device; the host only supplies blindings there.
+# 0 t1x (T1x commit)   1 t1y   2 i8 (C_8)   3 i10 (C_10)   4 i11 (C_11)
+# 5 i13 (C_13)   6..9 kx_j (A_x)   10..13 ky_j (A_y)   14..17 kz_j (A_z)
+# 18..21 kz_j (A_4_1)   22..23 keq_j (A_1)   24..25 keq_j (A_2)
+BK = 26  # commit-stack width
+_SLOT = {
+    "T1x": 0, "T1y": 1, "C8": 2, "C10": 3, "C11": 4, "C13": 5,
+    "Ax": 6, "Ay": 10, "Az": 14, "A41": 18, "A1": 22, "A2": 24,
+    "C4": 26, "A42": 30,  # appended after the commit stack in tom_aff
+}
+
+
+_DEV_REGISTRY: dict[int, DeviceParams] = {}
+
+
+# ---------------------------------------------------------------------------
+# host-side helpers
+# ---------------------------------------------------------------------------
+
+def _pk_scalars(ctx, ints) -> jnp.ndarray:
+    return jnp.asarray(ctx.pack(ints, mont=False))
+
+
+def _tom_pt(x: int, y: int) -> TEdwardsPoint:
+    return TEdwardsPoint(tomEdwards256, x, y)
+
+
+def _nist_pt(x: int, y: int) -> WeierstrassPoint:
+    return WeierstrassPoint(p256, x, y, 1)
+
+
+def _unp(ctx, arr) -> list[int]:
+    return ctx.unpack(arr, mont=False)
+
+
+class _Tape:
+    """Per-instance randomness drawn in exactly the reference's order."""
+
+    def __init__(self, source: rng.RandomSource) -> None:
+        self.source = source
+
+    def rnd(self, n: int) -> int:
+        with rng.scoped(self.source):
+            return big.rnd(n)
+
+
+# ---------------------------------------------------------------------------
+# the batched prover
+# ---------------------------------------------------------------------------
+
+class BatchProver:
+    def __init__(self, params: SystemParametersList) -> None:
+        self.params = params
+        self.dev = DeviceParams(params)
+        _DEV_REGISTRY[id(self.dev)] = self.dev
+        self.phase_a, self.phase_b = _phase_fns(id(self.dev))
+
+    def prove(
+        self,
+        msg_hashes: Sequence[bytes],
+        sig_bytes: Sequence[bytes],
+        public_keys_raw: Sequence[bytes],
+        whichs: Sequence[int],
+        keys: list[int],
+        tapes: Optional[Sequence[rng.RandomSource]] = None,
+    ) -> list[SignatureProofList]:
+        params = self.params
+        N = len(msg_hashes)
+        if params.sec_level != SECPARAM:
+            raise ValueError("batched prover supports sec_level == 80")
+        if tapes is None:
+            tapes = [rng.get_source() for _ in range(N)]
+        tapes = [_Tape(t) for t in tapes]
+
+        n_ord = p256.order
+        t_ord = tomEdwards256.order
+        fn, fo = P256_N, TOM_N
+
+        # ---- host: parse signatures (zkpAttestList.ts:113-136) ----
+        pk_pts = [p256.deserialize_point(pk) for pk in public_keys_raw]
+        pk_coords = [pt.to_affine() for pt in pk_pts]
+        u1s, u2s, s1s, z1s = [], [], [], []
+        for mh, sb in zip(msg_hashes, sig_bytes):
+            z = _truncate_to_n(big.from_bytes(mh), n_ord)
+            half = len(sb) // 2
+            r = big.from_bytes(sb[:half])
+            s = big.from_bytes(sb[half:])
+            sinv = big.inv_mod(s, n_ord)
+            rinv = big.inv_mod(r, n_ord)
+            u1s.append(sinv * z % n_ord)
+            u2s.append(sinv * r % n_ord)
+            s1s.append(rinv * s % n_ord)
+            z1s.append(rinv * z % n_ord)
+
+        # ---- tape: phase-A randomness, reference order ----
+        com_r, pkx_r, pky_r = [], [], []
+        alpha = [[0] * SECPARAM for _ in range(N)]
+        r_rnd = [[0] * SECPARAM for _ in range(N)]
+        txr = [[0] * SECPARAM for _ in range(N)]
+        tyr = [[0] * SECPARAM for _ in range(N)]
+        for i, tape in enumerate(tapes):
+            com_r.append(tape.rnd(n_ord))  # comS1 blinding
+            pkx_r.append(tape.rnd(t_ord))  # pkX blinding
+            pky_r.append(tape.rnd(t_ord))  # pkY blinding
+            for j in range(SECPARAM):  # exp.ts:144-156 per-round draws
+                alpha[i][j] = tape.rnd(n_ord)
+                r_rnd[i][j] = tape.rnd(n_ord)
+                txr[i][j] = tape.rnd(t_ord)
+                tyr[i][j] = tape.rnd(t_ord)
+
+        pk_dev = jnp.asarray(p256_ops.pack_points(pk_pts))
+
+        def pack_n(vals):  # [N, L] nist-order scalars
+            return _pk_scalars(fn, vals)
+
+        def pack_o(vals):
+            return _pk_scalars(fo, vals)
+
+        def pack_n2(rows):  # [N, 80, L]
+            flat = [v for row in rows for v in row]
+            return _pk_scalars(fn, flat).reshape(N, SECPARAM, -1)
+
+        def pack_o2(rows):
+            flat = [v for row in rows for v in row]
+            return _pk_scalars(fo, flat).reshape(N, SECPARAM, -1)
+
+        a = self.phase_a(
+            pk_dev, pack_n(u1s), pack_n(u2s), pack_n(z1s), pack_n(s1s),
+            pack_n(com_r),
+            pack_o([c[0] for c in pk_coords]), pack_o(pkx_r),
+            pack_o([c[1] for c in pk_coords]), pack_o(pky_r),
+            pack_n2(alpha), pack_n2(r_rnd), pack_o2(txr), pack_o2(tyr),
+        )
+
+        # host point objects for hashing / assembly
+        sm_x = _unp(p256_ops.f, a["small_aff"][0])  # [N*3]: R, Q, comS1
+        sm_y = _unp(p256_ops.f, a["small_aff"][1])
+        R_pts = [_nist_pt(sm_x[i * 3], sm_y[i * 3]) for i in range(N)]
+        com_pts = [_nist_pt(sm_x[i * 3 + 2], sm_y[i * 3 + 2]) for i in range(N)]
+        pk_x = _unp(tom_ops.f, a["pk_aff"][0])  # [N*2]: pkX, pkY
+        pk_y = _unp(tom_ops.f, a["pk_aff"][1])
+        pkX_pts = [_tom_pt(pk_x[i * 2], pk_y[i * 2]) for i in range(N)]
+        pkY_pts = [_tom_pt(pk_x[i * 2 + 1], pk_y[i * 2 + 1]) for i in range(N)]
+        ta_x = _unp(p256_ops.f, a["TA_aff"][0])  # [N*80*2]: T, A
+        ta_y = _unp(p256_ops.f, a["TA_aff"][1])
+        tc_x = _unp(tom_ops.f, a["TC_aff"][0])  # [N*80*2]: TxC, TyC
+        tc_y = _unp(tom_ops.f, a["TC_aff"][1])
+
+        def ta(i, j, s):
+            k = (i * SECPARAM + j) * 2 + s
+            return ta_x[k], ta_y[k]
+
+        def tc(i, j, s):
+            k = (i * SECPARAM + j) * 2 + s
+            return tc_x[k], tc_y[k]
+
+        A_pts = [[_nist_pt(*ta(i, j, 1)) for j in range(SECPARAM)] for i in range(N)]
+        TxC_pts = [[_tom_pt(*tc(i, j, 0)) for j in range(SECPARAM)] for i in range(N)]
+        TyC_pts = [[_tom_pt(*tc(i, j, 1)) for j in range(SECPARAM)] for i in range(N)]
+
+        # ---- challenges (exp.ts:158-165) ----
+        challenges = []
+        for i in range(N):
+            pts = [pkX_pts[i], pkY_pts[i]]
+            for j in range(SECPARAM):
+                pts += [A_pts[i][j], TxC_pts[i][j], TyC_pts[i][j]]
+            challenges.append(hash_points(pts))
+
+        # ---- tape: phase-B randomness (even bits only, reference order) --
+        zvals = [[0] * SECPARAM for _ in range(N)]
+        names_b = ("t1x_r", "t1y_r", "c8_r", "c10_r", "c11_r", "c13_r")
+        tape_b = {k: [[0] * SECPARAM for _ in range(N)] for k in names_b}
+        kx = [[[0] * 4 for _ in range(SECPARAM)] for _ in range(N)]
+        ky = [[[0] * 4 for _ in range(SECPARAM)] for _ in range(N)]
+        kz = [[[0] * 4 for _ in range(SECPARAM)] for _ in range(N)]
+        axr = [[[0] * 4 for _ in range(SECPARAM)] for _ in range(N)]
+        ayr = [[[0] * 4 for _ in range(SECPARAM)] for _ in range(N)]
+        azr = [[[0] * 4 for _ in range(SECPARAM)] for _ in range(N)]
+        a41r = [[[0] * 4 for _ in range(SECPARAM)] for _ in range(N)]
+        keq = [[[0] * 2 for _ in range(SECPARAM)] for _ in range(N)]
+        a1r = [[[0] * 2 for _ in range(SECPARAM)] for _ in range(N)]
+        a2r = [[[0] * 2 for _ in range(SECPARAM)] for _ in range(N)]
+        even_mask = [[False] * SECPARAM for _ in range(N)]
+        for i, tape in enumerate(tapes):
+            ch = challenges[i]
+            for j in range(SECPARAM):
+                zvals[i][j] = (alpha[i][j] - s1s[i]) % n_ord
+                if not (ch & 1):
+                    even_mask[i][j] = True
+                    # prove_exp even branch draws (exp.ts:195-200):
+                    tape_b["t1x_r"][i][j] = tape.rnd(t_ord)
+                    tape_b["t1y_r"][i][j] = tape.rnd(t_ord)
+                    # provePointAdd commits C8/C10/C11/C13 (pointAdd.ts:138-143)
+                    tape_b["c8_r"][i][j] = tape.rnd(t_ord)
+                    tape_b["c10_r"][i][j] = tape.rnd(t_ord)
+                    tape_b["c11_r"][i][j] = tape.rnd(t_ord)
+                    tape_b["c13_r"][i][j] = tape.rnd(t_ord)
+                    # sub-proofs in order pi8, pi10, pi11, pix, pi13, piy
+                    for order_idx, sub in enumerate(("m0", "m1", "m2", "e0", "m3", "e1")):
+                        if sub.startswith("m"):
+                            jj = {"m0": 0, "m1": 1, "m2": 2, "m3": 3}[sub]
+                            kx[i][j][jj] = tape.rnd(t_ord)
+                            ky[i][j][jj] = tape.rnd(t_ord)
+                            kz[i][j][jj] = tape.rnd(t_ord)
+                            axr[i][j][jj] = tape.rnd(t_ord)
+                            ayr[i][j][jj] = tape.rnd(t_ord)
+                            azr[i][j][jj] = tape.rnd(t_ord)
+                            a41r[i][j][jj] = tape.rnd(t_ord)
+                        else:
+                            jj = 0 if sub == "e0" else 1
+                            keq[i][j][jj] = tape.rnd(t_ord)
+                            a1r[i][j][jj] = tape.rnd(t_ord)
+                            a2r[i][j][jj] = tape.rnd(t_ord)
+                ch >>= 1
+
+        # stacked commit inputs [N, 80, BK, L] in _SLOT order
+        vals_rows, blind_rows = [], []
+        for i in range(N):
+            for j in range(SECPARAM):
+                vals_rows += [0] * 6  # device fills t1x,t1y,i8,i10,i11,i13
+                vals_rows += kx[i][j] + ky[i][j] + kz[i][j] + kz[i][j]
+                vals_rows += keq[i][j] + keq[i][j]
+                blind_rows += [tape_b[nm][i][j] for nm in names_b]
+                blind_rows += axr[i][j] + ayr[i][j] + azr[i][j] + a41r[i][j]
+                blind_rows += a1r[i][j] + a2r[i][j]
+        com_vals = _pk_scalars(fo, vals_rows).reshape(N, SECPARAM, BK, -1)
+        com_blinds = _pk_scalars(fo, blind_rows).reshape(N, SECPARAM, BK, -1)
+
+        b = self.phase_b(
+            a["tab_R"], a["Q"], a["TC"][..., 0, :, :],
+            a["pkC"][..., 0, :, :], a["pkC"][..., 1, :, :],
+            jnp.asarray(a["T_v"][0]),
+            pack_o([c[0] for c in pk_coords]), pack_o([c[1] for c in pk_coords]),
+            pack_n2(zvals), com_vals, com_blinds,
+        )
+
+        ints = [_unp(fo, v) for v in b["ints"]]  # 7 x [N*80]
+        tom_x = _unp(tom_ops.f, b["tom_aff"][0])  # [N*80*34]
+        tom_y = _unp(tom_ops.f, b["tom_aff"][1])
+        NSLOT = BK + 8
+
+        def tom_pt_at(i, j, slot):
+            k = (i * SECPARAM + j) * NSLOT + slot
+            return _tom_pt(tom_x[k], tom_y[k])
+
+        tsc = tomEdwards256.new_scalar
+
+        # ---- assemble exp proofs per instance/round ----
+        proofs = []
+        for i in range(N):
+            exp_proofs = []
+            for j in range(SECPARAM):
+                k = i * SECPARAM + j
+                A_p = A_pts[i][j]
+                Tx_p = TxC_pts[i][j]
+                Ty_p = TyC_pts[i][j]
+                if not even_mask[i][j]:
+                    exp_proofs.append(
+                        ExpProof(
+                            A_p, Tx_p, Ty_p,
+                            alpha=p256.new_scalar(alpha[i][j]),
+                            beta1=p256.new_scalar(r_rnd[i][j]),
+                            beta2=tsc(txr[i][j]),
+                            beta3=tsc(tyr[i][j]),
+                        )
+                    )
+                    continue
+                # even bit: point-add sub-proof assembly
+                i7, i8, i9, i10, i11, i12, i13 = (v[k] for v in ints)
+                C8p = tom_pt_at(i, j, _SLOT["C8"])
+                C10p = tom_pt_at(i, j, _SLOT["C10"])
+                C11p = tom_pt_at(i, j, _SLOT["C11"])
+                C13p = tom_pt_at(i, j, _SLOT["C13"])
+                T1xp = tom_pt_at(i, j, _SLOT["T1x"])
+                T1yp = tom_pt_at(i, j, _SLOT["T1y"])
+                # commitments with blindings (host Commitment mirrors)
+                pg = params.proof_group
+                PX = Commitment(T1xp, tsc(tape_b["t1x_r"][i][j]))
+                PY = Commitment(T1yp, tsc(tape_b["t1y_r"][i][j]))
+                QX = Commitment(pkX_pts[i], tsc(pkx_r[i]))
+                QY = Commitment(pkY_pts[i], tsc(pky_r[i]))
+                RX = Commitment(Tx_p, tsc(txr[i][j]))
+                RY = Commitment(Ty_p, tsc(tyr[i][j]))
+                C7c = QX.sub(PX)
+                C8c = Commitment(C8p, tsc(tape_b["c8_r"][i][j]))
+                C9c = QY.sub(PY)
+                C10c = Commitment(C10p, tsc(tape_b["c10_r"][i][j]))
+                C11c = Commitment(C11p, tsc(tape_b["c11_r"][i][j]))
+                C12c = PX.sub(RX)
+                C13c = Commitment(C13p, tsc(tape_b["c13_r"][i][j]))
+                C14c = Commitment(pg.g, tsc(0))
+
+                def mk_mult(jj, x, y, zv, Cx, Cy, Cz):
+                    C4p = tom_pt_at(i, j, _SLOT["C4"] + jj)
+                    A42p = tom_pt_at(i, j, _SLOT["A42"] + jj)
+                    Axp = tom_pt_at(i, j, _SLOT["Ax"] + jj)
+                    Ayp = tom_pt_at(i, j, _SLOT["Ay"] + jj)
+                    Azp = tom_pt_at(i, j, _SLOT["Az"] + jj)
+                    A41p = tom_pt_at(i, j, _SLOT["A41"] + jj)
+                    c = hash_points(
+                        [Cx.p, Cy.p, Cz.p, C4p, Axp, Ayp, Azp, A41p, A42p]
+                    )
+                    cc = tsc(c)
+                    kxs, kys, kzs = (
+                        tsc(kx[i][j][jj]), tsc(ky[i][j][jj]), tsc(kz[i][j][jj])
+                    )
+                    r4 = Cy.r.mul(tsc(x))
+                    return MultProof(
+                        C4p, Axp, Ayp, Azp, A41p, A42p,
+                        kxs.sub(cc.mul(tsc(x))),
+                        kys.sub(cc.mul(tsc(y))),
+                        kzs.sub(cc.mul(tsc(zv))),
+                        tsc(axr[i][j][jj]).sub(cc.mul(Cx.r)),
+                        tsc(ayr[i][j][jj]).sub(cc.mul(Cy.r)),
+                        tsc(azr[i][j][jj]).sub(cc.mul(Cz.r)),
+                        tsc(a41r[i][j][jj]).sub(cc.mul(r4)),
+                    )
+
+                def mk_eq(jj, x, C1, C2):
+                    A1p = tom_pt_at(i, j, _SLOT["A1"] + jj)
+                    A2p = tom_pt_at(i, j, _SLOT["A2"] + jj)
+                    c = hash_points([C1.p, C2.p, A1p, A2p])
+                    cc = tsc(c)
+                    kk = tsc(keq[i][j][jj])
+                    return EqualityProof(
+                        A1p, A2p,
+                        kk.sub(cc.mul(tsc(x))),
+                        tsc(a1r[i][j][jj]).sub(cc.mul(C1.r)),
+                        tsc(a2r[i][j][jj]).sub(cc.mul(C2.r)),
+                    )
+
+                pi8 = mk_mult(0, i7, i8, 1, C7c, C8c, C14c)
+                pi10 = mk_mult(1, i8, i9, i10, C8c, C9c, C10c)
+                pi11 = mk_mult(2, i10, i10, i11, C10c, C10c, C11c)
+                cint = Commitment(
+                    RX.p.add(PX.p).add(QX.p), RX.r.add(PX.r).add(QX.r)
+                )
+                pix = mk_eq(0, i11, C11c, cint)
+                pi13 = mk_mult(3, i10, i12, i13, C10c, C12c, C13c)
+                cint = Commitment(RY.p.add(PY.p), RY.r.add(PY.r))
+                piy = mk_eq(1, i13, C13c, cint)
+                pa = PointAddProof(
+                    C8p, C10p, C11p, C13p, pi8, pi10, pi11, pi13, pix, piy
+                )
+                exp_proofs.append(
+                    ExpProof(
+                        A_p, Tx_p, Ty_p,
+                        z=p256.new_scalar(zvals[i][j]),
+                        z2=p256.new_scalar((r_rnd[i][j] - com_r[i]) % n_ord),
+                        proof=pa,
+                        r1=tsc(tape_b["t1x_r"][i][j]),
+                        r2=tsc(tape_b["t1y_r"][i][j]),
+                    )
+                )
+
+            # ---- GK membership (tape order after exp; gk.ts:112-123) ----
+            with rng.scoped(tapes[i].source):
+                gk = self._prove_membership_host(
+                    params.proof_group,
+                    Commitment(pkX_pts[i], tsc(pkx_r[i])),
+                    whichs[i],
+                    keys,
+                )
+            proofs.append(
+                SignatureProofList(
+                    R_pts[i], com_pts[i], pkX_pts[i], pkY_pts[i],
+                    exp_proofs, gk,
+                )
+            )
+        return proofs
+
+    @staticmethod
+    def _prove_membership_host(pg, com, which, keys) -> GKProof:
+        from ..proofGK.gk import prove_membership
+
+        return prove_membership(pg, com, which, keys)
+
+
+def batched_prove_signature_list(
+    params: SystemParametersList,
+    msg_hashes: Sequence[bytes],
+    sig_bytes: Sequence[bytes],
+    public_keys_raw: Sequence[bytes],
+    whichs: Sequence[int],
+    keys: list[int],
+    tapes: Optional[Sequence[rng.RandomSource]] = None,
+) -> list[SignatureProofList]:
+    return BatchProver(params).prove(
+        msg_hashes, sig_bytes, public_keys_raw, whichs, keys, tapes
+    )

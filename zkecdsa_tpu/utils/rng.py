@@ -64,6 +64,19 @@ def set_source(src: RandomSource) -> None:
 
 
 @contextmanager
+def scoped(source: RandomSource) -> Iterator[RandomSource]:
+    """Temporarily install an explicit source (used by the batched prover to
+    replay per-instance tapes)."""
+    global _source
+    prev = _source
+    _source = source
+    try:
+        yield source
+    finally:
+        _source = prev
+
+
+@contextmanager
 def deterministic(seed: bytes | int = 0) -> Iterator[DeterministicSource]:
     """Context manager installing a seeded DRBG for the duration."""
     global _source
