@@ -1,1 +1,2 @@
 from .batch import BatchProver, batched_prove_signature_list  # noqa: F401
+from .verify import batched_verify_signature_list, device_msm, device_msm_backend  # noqa: F401

@@ -469,6 +469,18 @@ class BatchProver:
 
         tsc = tomEdwards256.new_scalar
 
+        # ---- batched GK membership (device d-values; tape order per
+        # instance: after the exp draws, matching zkpAttestList.ts:141-142)
+        from .batch_gk import batch_prove_membership
+
+        gk_proofs = batch_prove_membership(
+            params.proof_group,
+            [Commitment(pkX_pts[i], tsc(pkx_r[i])) for i in range(N)],
+            whichs,
+            keys,
+            [t.source for t in tapes],
+        )
+
         # ---- assemble exp proofs per instance/round ----
         proofs = []
         for i in range(N):
@@ -577,27 +589,13 @@ class BatchProver:
                     )
                 )
 
-            # ---- GK membership (tape order after exp; gk.ts:112-123) ----
-            with rng.scoped(tapes[i].source):
-                gk = self._prove_membership_host(
-                    params.proof_group,
-                    Commitment(pkX_pts[i], tsc(pkx_r[i])),
-                    whichs[i],
-                    keys,
-                )
             proofs.append(
                 SignatureProofList(
                     R_pts[i], com_pts[i], pkX_pts[i], pkY_pts[i],
-                    exp_proofs, gk,
+                    exp_proofs, gk_proofs[i],
                 )
             )
         return proofs
-
-    @staticmethod
-    def _prove_membership_host(pg, com, which, keys) -> GKProof:
-        from ..proofGK.gk import prove_membership
-
-        return prove_membership(pg, com, which, keys)
 
 
 def batched_prove_signature_list(

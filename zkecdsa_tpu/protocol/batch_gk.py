@@ -1,0 +1,243 @@
+"""Batched Groth-Kohlweiss membership proofs on device (config 3 of
+BASELINE.md: ring 2^10+, batched polynomial evaluation on one chip).
+
+The prover's hot loop is the d-polynomial evaluation: for each of n
+evaluation points it builds the 2^n ratio-product table and folds the ring
+(reference src/proofGK/gk.ts:135-171, O(n*N_ring) field ops).  Here the
+table build is n successive doublings of a [batch, 2^k] block and the fold
+is one multiply + log-tree sum - all on the Tom-order field limb arrays.
+
+The verifier's O(N_ring * n) recombination (gk.ts:239-250) becomes n
+masked multiplies over a [batch, RING] array + a log-tree sum.
+
+Both produce values bit-identical to the host path (exact integer math),
+so ``batch_prove_membership`` emits byte-identical GKProof objects for the
+same random tape.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bignum import big
+from ..commit.pedersen import Commitment, PedersenParams
+from ..curves.edwards import TEdwardsPoint
+from ..curves.group import hash_points
+from ..curves.instances import tomEdwards256
+from ..proofGK.gk import GKProof, _pad
+from ..proofGK.interpolate import interpolate
+from ..ops.limbs import TOM_N
+from ..ops.curve_ops import tom_ops
+from ..utils import rng
+
+__all__ = ["gk_dvalues_device", "gk_recombine_device", "batch_prove_membership", "batch_verify_membership"]
+
+fo = TOM_N
+
+
+def _ring_len(n_values: int) -> tuple[int, int]:
+    pad_len = 1 << (n_values - 1).bit_length() if n_values > 1 else 1
+    n = (pad_len - 1).bit_length() if pad_len > 1 else 0
+    return pad_len, n
+
+
+def gk_dvalues_device(
+    eli: jnp.ndarray,  # [N, n] int32 index bits (LSB first)
+    ai: jnp.ndarray,  # [N, n, L] mont
+    values: jnp.ndarray,  # [RING, L] mont (padded ring)
+    v_index: jnp.ndarray,  # [N, L] mont (values[which] per instance)
+) -> jnp.ndarray:
+    """d-polynomial values at omega = 0..n-1: [N, n, L] mont."""
+    N, n = eli.shape[0], eli.shape[1]
+    elib = (eli[..., None] > 0)  # [N, n, 1]
+    dvs = []
+    vsum_terms = fo.sub(v_index[:, None, :], values[None, :, :])  # [N, RING, L]
+    for w in range(n):
+        w_m = fo.const(w)  # mont constant
+        # f0 = (1-el)*w - a ; f1 = el*w + a  (gk.ts:146-148)
+        f0 = jnp.where(elib, fo.neg(ai[:, :, :]), fo.sub(w_m, ai))
+        f1 = jnp.where(elib, fo.add(w_m, ai), ai)
+        inv_f0 = fo.batch_inv(f0.reshape(-1, f0.shape[-1])).reshape(f0.shape)
+        ratio = fo.mul(f1, inv_f0)  # [N, n, L]
+        # prod = prod_j f0_j
+        prod = f0[:, 0]
+        for j in range(1, n):
+            prod = fo.mul(prod, f0[:, j])
+        # p table by successive doubling (gk.ts:155-163)
+        p = prod[:, None, :]  # [N, 1, L]
+        for j in range(n):
+            p = jnp.concatenate([p, fo.mul(ratio[:, j : j + 1, :], p)], axis=1)
+        # dval = sum_i (v_index - v_i) * p_i  (gk.ts:165-170)
+        terms = fo.mul(vsum_terms, p)  # [N, RING, L]
+        while terms.shape[1] > 1:
+            half = terms.shape[1] // 2
+            terms = fo.add(terms[:, :half], terms[:, half:])
+        dvs.append(terms[:, 0])
+    return jnp.stack(dvs, axis=1)  # [N, n, L]
+
+
+def gk_recombine_device(
+    f: jnp.ndarray,  # [N, n, L] mont (response scalars)
+    xf: jnp.ndarray,  # [N, n, L] mont (x - f)
+    values: jnp.ndarray,  # [RING, L] mont
+) -> jnp.ndarray:
+    """total = sum_i v_i * prod_j (f_j if bit_j(i) else x-f_j): [N, L]."""
+    RING = values.shape[0]
+    n = f.shape[1]
+    pix = jnp.broadcast_to(
+        jnp.asarray(fo.one_mont, jnp.uint32), (f.shape[0], RING, fo.nlimbs)
+    )
+    idx = np.arange(RING)
+    for j in range(n):
+        bit = jnp.asarray((idx >> j) & 1 > 0)[None, :, None]
+        factor = jnp.where(bit, f[:, j : j + 1, :], xf[:, j : j + 1, :])
+        pix = fo.mul(pix, factor)
+    terms = fo.mul(values[None], pix)
+    while terms.shape[1] > 1:
+        half = terms.shape[1] // 2
+        terms = fo.add(terms[:, :half], terms[:, half:])
+    return terms[:, 0]
+
+
+def batch_prove_membership(
+    params: PedersenParams,
+    coms: Sequence[Commitment],
+    indices: Sequence[int],
+    initial_values: list[int],
+    tapes: Sequence[rng.RandomSource],
+) -> list[GKProof]:
+    """Batched prover, bit-identical to gk.prove_membership per tape."""
+    c = params.c
+    order = c.order
+    N = len(coms)
+    values_s = _pad(initial_values, c)
+    RING, n = _ring_len(len(initial_values))
+
+    # tape (reference order: per-bit ri, ai, si, ti, rho; gk.ts:112-123)
+    ri = [[0] * n for _ in range(N)]
+    ai = [[0] * n for _ in range(N)]
+    si = [[0] * n for _ in range(N)]
+    ti = [[0] * n for _ in range(N)]
+    rho = [[0] * n for _ in range(N)]
+    for i, tape in enumerate(tapes):
+        with rng.scoped(tape):
+            for j in range(n):
+                ri[i][j] = big.rnd(order)
+                ai[i][j] = big.rnd(order)
+                si[i][j] = big.rnd(order)
+                ti[i][j] = big.rnd(order)
+                rho[i][j] = big.rnd(order)
+    eli = [[(indices[i] >> j) & 1 for j in range(n)] for i in range(N)]
+
+    # device d-values
+    if n > 0:
+        vals_dev = jnp.asarray(fo.pack([v.k for v in values_s]))
+        vidx_dev = jnp.asarray(fo.pack([values_s[indices[i]].k for i in range(N)]))
+        ai_dev = jnp.asarray(fo.pack([a for row in ai for a in row])).reshape(N, n, -1)
+        eli_dev = jnp.asarray(np.array(eli, dtype=np.int32))
+        dv = gk_dvalues_device(eli_dev, ai_dev, vals_dev, vidx_dev)
+        dv_ints = fo.unpack(dv)  # [N*n]
+    else:
+        dv_ints = []
+
+    # interpolate + commitments + responses (host; small)
+    proofs = []
+    omegas = list(range(n))
+    for i in range(N):
+        di = interpolate(omegas, dv_ints[i * n : (i + 1) * n], order)
+        from ..proofGK.gk import _commit
+
+        cl = [_commit(params, eli[i][j], ri[i][j]) for j in range(n)]
+        ca = [_commit(params, ai[i][j], si[i][j]) for j in range(n)]
+        cb = [_commit(params, eli[i][j] * ai[i][j], ti[i][j]) for j in range(n)]
+        cd = [_commit(params, di[j], rho[i][j]) for j in range(n)]
+        x = hash_points(cl + ca + cb + cd)
+        f = [c.new_scalar((eli[i][j] * x + ai[i][j]) % order) for j in range(n)]
+        za = [c.new_scalar((ri[i][j] * x + si[i][j]) % order) for j in range(n)]
+        zb = [
+            c.new_scalar((ri[i][j] * (x - f[j].k) + ti[i][j]) % order)
+            for j in range(n)
+        ]
+        zd = coms[i].r.k * pow(x, n, order) % order
+        for j in range(n):
+            zd = (zd - rho[i][j] * pow(x, j, order)) % order
+        proofs.append(GKProof(cl, ca, cb, cd, f, za, zb, c.new_scalar(zd)))
+    return proofs
+
+
+def batch_verify_membership(
+    params: PedersenParams,
+    coms: Sequence,  # points
+    initial_values: list[int],
+    proofs: Sequence[GKProof],
+) -> list[bool]:
+    """Batched verifier: device ring recombination + (host) bit relations
+    folded into per-instance MSMs."""
+    from ..curves.multimult import MultiMult, Relation
+
+    c = params.c
+    order = c.order
+    N = len(proofs)
+    values_s = _pad(initial_values, c)
+    RING, n = _ring_len(len(initial_values))
+
+    xs, ok = [], [True] * N
+    for i, proof in enumerate(proofs):
+        if any(
+            len(arr) != n
+            for arr in (proof.cl, proof.ca, proof.cb, proof.cd, proof.f, proof.za, proof.zb)
+        ):
+            ok[i] = False
+            xs.append(0)
+        else:
+            xs.append(hash_points(proof.cl + proof.ca + proof.cb + proof.cd))
+
+    vals_dev = jnp.asarray(fo.pack([v.k for v in values_s]))
+    f_ints = [
+        [proofs[i].f[j].k if ok[i] else 0 for j in range(n)] for i in range(N)
+    ]
+    xf_ints = [
+        [(xs[i] - f_ints[i][j]) % order for j in range(n)] for i in range(N)
+    ]
+    f_dev = jnp.asarray(fo.pack([v for row in f_ints for v in row])).reshape(N, n, -1)
+    xf_dev = jnp.asarray(fo.pack([v for row in xf_ints for v in row])).reshape(N, n, -1)
+    totals = fo.unpack(gk_recombine_device(f_dev, xf_dev, vals_dev))
+
+    results = []
+    for i, proof in enumerate(proofs):
+        if not ok[i]:
+            results.append(False)
+            continue
+        multi = MultiMult(c)
+        multi.add_known(params.g)
+        multi.add_known(params.h)
+        x = xs[i]
+        one = c.new_scalar(1)
+        for j in range(n):
+            rel0 = Relation(c)
+            rel0.insert_m(
+                [proof.cl[j], proof.ca[j], params.g, params.h],
+                [c.new_scalar(x), one, proof.f[j].neg(), proof.za[j].neg()],
+            )
+            rel0.drain(multi)
+            rel1 = Relation(c)
+            rel1.insert_m(
+                [proof.cl[j], proof.cb[j], params.h],
+                [c.new_scalar((x - proof.f[j].k) % order), one, proof.zb[j].neg()],
+            )
+            rel1.drain(multi)
+        rel_final = Relation(c)
+        for j in range(n):
+            rel_final.insert(proof.cd[j], c.new_scalar(-pow(x, j, order) % order))
+        rel_final.insert(coms[i], c.new_scalar(pow(x, n, order)))
+        rel_final.insert_m(
+            [params.g, params.h],
+            [c.new_scalar(-totals[i] % order), proof.zd.neg()],
+        )
+        rel_final.drain(multi)
+        results.append(multi.evaluate().is_identity())
+    return results
