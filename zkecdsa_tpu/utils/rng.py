@@ -22,10 +22,16 @@ from typing import Iterator
 
 
 class RandomSource:
-    """OS-CSPRNG random source (default)."""
+    """OS-CSPRNG random source (default).  Uses the C++ runtime's
+    getrandom() binding when built (runtime/native.cpp), else secrets."""
 
     def random_bytes(self, n: int) -> bytes:
-        return secrets.token_bytes(n)
+        try:
+            from ..runtime import native
+
+            return native.fill_random(n)
+        except Exception:
+            return secrets.token_bytes(n)
 
 
 class DeterministicSource(RandomSource):
