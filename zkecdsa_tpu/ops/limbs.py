@@ -29,10 +29,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["FieldCtx", "P256_P", "P256_N", "TOM_P", "TOM_N", "WAR_P"]
+__all__ = [
+    "FieldCtx",
+    "P256_P",
+    "P256_N",
+    "TOM_P",
+    "TOM_N",
+    "WAR_P",
+    "set_mul_backend",
+]
 
 BASE_BITS = 16
 MASK = (1 << BASE_BITS) - 1
+
+# "jnp" (default: fused XLA elementwise path) or "pallas" (VMEM-resident
+# Mosaic kernel, TPU only - see ops/pallas/mont.py).
+_MUL_BACKEND = "jnp"
+
+
+def set_mul_backend(name: str) -> None:
+    global _MUL_BACKEND
+    if name not in ("jnp", "pallas"):
+        raise ValueError(name)
+    _MUL_BACKEND = name
 
 
 def _int_to_limbs(x: int, nlimbs: int) -> np.ndarray:
@@ -192,6 +211,10 @@ class FieldCtx:
         quotient m_i only needs digit i fully carried, so a single running
         carry suffices and everything else stays lazily unnormalized.
         """
+        if _MUL_BACKEND == "pallas":
+            from .pallas.mont import mont_mul
+
+            return mont_mul(self, a, b)
         L = self.nlimbs
         a, b = jnp.broadcast_arrays(a, b)
         batch = a.shape[:-1]

@@ -1,0 +1,59 @@
+"""Configuration (SURVEY section 5 "config/flag system").
+
+The reference exposes one knob (secLevel, default 80;
+reference src/zkpAttestList.ts:88) plus compile-time curve constants.  The
+TPU framework has genuinely more surface: batch sizes, mesh shape, field
+backend, round budgets - collected here as one dataclass with env-var
+overrides (``ZKECDSA_*``)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+__all__ = ["Config", "get_config", "set_config"]
+
+
+@dataclasses.dataclass
+class Config:
+    # protocol
+    sec_level: int = 80  # prover rounds (zkpAttestList.ts:88)
+    verify_rounds: int = 20  # top-level verifier spot-checks (":177")
+    # batching
+    batch_size: int = 16
+    msm_pad: int = 64  # MSM term padding bucket
+    # device
+    mul_backend: str = "jnp"  # "jnp" | "pallas"
+    mesh_dp: int = 1
+    mesh_ring: int = 1
+    # observability
+    profile_dir: str | None = None
+
+    @classmethod
+    def from_env(cls) -> "Config":
+        cfg = cls()
+        for field in dataclasses.fields(cls):
+            env = os.environ.get("ZKECDSA_" + field.name.upper())
+            if env is not None:
+                value = field.type if isinstance(field.type, type) else str
+                if field.type in ("int", int):
+                    cfg.__setattr__(field.name, int(env))
+                else:
+                    cfg.__setattr__(field.name, env)
+        return cfg
+
+
+_config = Config.from_env()
+
+
+def get_config() -> Config:
+    return _config
+
+
+def set_config(cfg: Config) -> None:
+    global _config
+    _config = cfg
+    if cfg.mul_backend != "jnp":
+        from ..ops.limbs import set_mul_backend
+
+        set_mul_backend(cfg.mul_backend)
