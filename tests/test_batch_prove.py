@@ -5,6 +5,8 @@ import hashlib
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full batched prove: ~10 min on a 2-core CPU box
+
 from zkecdsa_tpu import ecdsa
 from zkecdsa_tpu.protocol.batch import BatchProver
 from zkecdsa_tpu.serde import write_json

@@ -50,6 +50,7 @@ def test_device_msm_null_relation_is_identity():
         assert device_msm(g, pts, scs).is_identity()
 
 
+@pytest.mark.slow
 def test_batched_verify_end_to_end():
     with rng.deterministic(9):
         params = generate_params_list()

@@ -287,7 +287,11 @@ class BatchProver:
         whichs: Sequence[int],
         keys: list[int],
         tapes: Optional[Sequence[rng.RandomSource]] = None,
+        timer=None,
     ) -> list[SignatureProofList]:
+        import contextlib
+
+        stage = timer.stage if timer is not None else (lambda _n: contextlib.nullcontext())
         params = self.params
         N = len(msg_hashes)
         if params.sec_level != SECPARAM:
@@ -348,15 +352,19 @@ class BatchProver:
             flat = [v for row in rows for v in row]
             return _pk_scalars(fo, flat).reshape(N, SECPARAM, -1)
 
-        a = self.phase_a(
-            pk_dev, pack_n(u1s), pack_n(u2s), pack_n(z1s), pack_n(s1s),
-            pack_n(com_r),
-            pack_o([c[0] for c in pk_coords]), pack_o(pkx_r),
-            pack_o([c[1] for c in pk_coords]), pack_o(pky_r),
-            pack_n2(alpha), pack_n2(r_rnd), pack_o2(txr), pack_o2(tyr),
-        )
+        with stage("phase_a.device"):
+            a = self.phase_a(
+                pk_dev, pack_n(u1s), pack_n(u2s), pack_n(z1s), pack_n(s1s),
+                pack_n(com_r),
+                pack_o([c[0] for c in pk_coords]), pack_o(pkx_r),
+                pack_o([c[1] for c in pk_coords]), pack_o(pky_r),
+                pack_n2(alpha), pack_n2(r_rnd), pack_o2(txr), pack_o2(tyr),
+            )
+            a = jax.block_until_ready(a)
 
         # host point objects for hashing / assembly
+        _unpack_a = stage("phase_a.unpack")
+        _unpack_a.__enter__()
         sm_x = _unp(p256_ops.f, a["small_aff"][0])  # [N*3]: R, Q, comS1
         sm_y = _unp(p256_ops.f, a["small_aff"][1])
         R_pts = [_nist_pt(sm_x[i * 3], sm_y[i * 3]) for i in range(N)]
@@ -382,13 +390,16 @@ class BatchProver:
         TxC_pts = [[_tom_pt(*tc(i, j, 0)) for j in range(SECPARAM)] for i in range(N)]
         TyC_pts = [[_tom_pt(*tc(i, j, 1)) for j in range(SECPARAM)] for i in range(N)]
 
+        _unpack_a.__exit__(None, None, None)
+
         # ---- challenges (exp.ts:158-165) ----
         challenges = []
-        for i in range(N):
-            pts = [pkX_pts[i], pkY_pts[i]]
-            for j in range(SECPARAM):
-                pts += [A_pts[i][j], TxC_pts[i][j], TyC_pts[i][j]]
-            challenges.append(hash_points(pts))
+        with stage("challenges.hash"):
+            for i in range(N):
+                pts = [pkX_pts[i], pkY_pts[i]]
+                for j in range(SECPARAM):
+                    pts += [A_pts[i][j], TxC_pts[i][j], TyC_pts[i][j]]
+                challenges.append(hash_points(pts))
 
         # ---- tape: phase-B randomness (even bits only, reference order) --
         zvals = [[0] * SECPARAM for _ in range(N)]
@@ -450,17 +461,20 @@ class BatchProver:
         com_vals = _pk_scalars(fo, vals_rows).reshape(N, SECPARAM, BK, -1)
         com_blinds = _pk_scalars(fo, blind_rows).reshape(N, SECPARAM, BK, -1)
 
-        b = self.phase_b(
-            a["tab_R"], a["Q"], a["TC"][..., 0, :, :],
-            a["pkC"][..., 0, :, :], a["pkC"][..., 1, :, :],
-            jnp.asarray(a["T_v"][0]),
-            pack_o([c[0] for c in pk_coords]), pack_o([c[1] for c in pk_coords]),
-            pack_n2(zvals), com_vals, com_blinds,
-        )
+        with stage("phase_b.device"):
+            b = self.phase_b(
+                a["tab_R"], a["Q"], a["TC"][..., 0, :, :],
+                a["pkC"][..., 0, :, :], a["pkC"][..., 1, :, :],
+                jnp.asarray(a["T_v"][0]),
+                pack_o([c[0] for c in pk_coords]), pack_o([c[1] for c in pk_coords]),
+                pack_n2(zvals), com_vals, com_blinds,
+            )
+            b = jax.block_until_ready(b)
 
-        ints = [_unp(fo, v) for v in b["ints"]]  # 7 x [N*80]
-        tom_x = _unp(tom_ops.f, b["tom_aff"][0])  # [N*80*34]
-        tom_y = _unp(tom_ops.f, b["tom_aff"][1])
+        with stage("phase_b.unpack"):
+            ints = [_unp(fo, v) for v in b["ints"]]  # 7 x [N*80]
+            tom_x = _unp(tom_ops.f, b["tom_aff"][0])  # [N*80*34]
+            tom_y = _unp(tom_ops.f, b["tom_aff"][1])
         NSLOT = BK + 8
 
         def tom_pt_at(i, j, slot):
@@ -473,15 +487,18 @@ class BatchProver:
         # instance: after the exp draws, matching zkpAttestList.ts:141-142)
         from .batch_gk import batch_prove_membership
 
-        gk_proofs = batch_prove_membership(
-            params.proof_group,
-            [Commitment(pkX_pts[i], tsc(pkx_r[i])) for i in range(N)],
-            whichs,
-            keys,
-            [t.source for t in tapes],
-        )
+        with stage("gk.prove"):
+            gk_proofs = batch_prove_membership(
+                params.proof_group,
+                [Commitment(pkX_pts[i], tsc(pkx_r[i])) for i in range(N)],
+                whichs,
+                keys,
+                [t.source for t in tapes],
+            )
 
         # ---- assemble exp proofs per instance/round ----
+        _asm = stage("assembly")
+        _asm.__enter__()
         proofs = []
         for i in range(N):
             exp_proofs = []
@@ -595,6 +612,7 @@ class BatchProver:
                     exp_proofs, gk_proofs[i],
                 )
             )
+        _asm.__exit__(None, None, None)
         return proofs
 
 
