@@ -13,10 +13,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# Tests only need functional kernels, not fast ones: opt-level 0 cuts the
-# large-graph compiles ~5x (production/bench runs use full optimization).
-if "xla_backend_optimization_level" not in flags:
-    flags += " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
 os.environ["XLA_FLAGS"] = flags
 
 import pytest  # noqa: E402
