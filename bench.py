@@ -1,14 +1,15 @@
 """Benchmark entry point (driver contract: prints ONE JSON line).
 
-Measures batched ZKAttest proving throughput on whatever jax.devices()
-provides (the real TPU chip under the driver; CPU if forced).  The
-baseline is this repo's host scalar prover - the stand-in for the
-reference TypeScript implementation (same algorithm class: sequential
-CPU bignum; the reference repo publishes no numbers and Node.js is not
-available here, see BASELINE.md).
+Measures batched ZKAttest prove+verify throughput (the BASELINE.md north
+star metric) on whatever jax.devices() provides (the real TPU chip under
+the driver; CPU if forced).  The baseline is this repo's host scalar
+prover+verifier - the stand-in for the reference TypeScript implementation
+(same algorithm class: sequential CPU bignum; the reference repo publishes
+no numbers and Node.js is not available here, see BASELINE.md).
 
 Env knobs: BENCH_BATCH (default 16), BENCH_RING (default 8),
-BENCH_HOST_REPS (default 1).
+BENCH_HOST_REPS (default 1), BENCH_PROVE_ONLY=1 to skip the batched
+verifier (for quick runs while compile caches are cold).
 """
 
 import json
@@ -27,6 +28,7 @@ def main() -> None:
 
     from zkecdsa_tpu import ecdsa
     from zkecdsa_tpu.protocol.batch import BatchProver
+    from zkecdsa_tpu.protocol.batch_verify import BatchVerifier
     from zkecdsa_tpu.utils import rng
     from zkecdsa_tpu.zkp_attest_list import (
         generate_params_list,
@@ -37,6 +39,7 @@ def main() -> None:
     B = int(os.environ.get("BENCH_BATCH", "16"))
     RING = int(os.environ.get("BENCH_RING", "8"))
     HOST_REPS = int(os.environ.get("BENCH_HOST_REPS", "1"))
+    PROVE_ONLY = os.environ.get("BENCH_PROVE_ONLY", "") == "1"
 
     with rng.deterministic(42):
         params = generate_params_list()
@@ -54,17 +57,26 @@ def main() -> None:
         ring = ring[:RING]
         whichs = [w % RING for w in whichs]
 
-    # baseline: host scalar prover (reference-class CPU implementation)
+    # baseline: host scalar prover + verifier (reference-class CPU impl)
     t0 = time.perf_counter()
     for i in range(HOST_REPS):
         with rng.deterministic(7 + i):
-            prove_signature_list(
+            host_proof = prove_signature_list(
                 params, msgs[i % B], sigs[i % B], pubs[i % B], whichs[i % B], ring
             )
-    host_per_proof = (time.perf_counter() - t0) / HOST_REPS
-    print(f"# host scalar prover: {host_per_proof:.2f} s/proof", file=sys.stderr)
+    host_prove = (time.perf_counter() - t0) / HOST_REPS
+    t0 = time.perf_counter()
+    for i in range(HOST_REPS):
+        assert verify_signature_list(params, msgs[(HOST_REPS - 1) % B], ring, host_proof)
+    host_verify = (time.perf_counter() - t0) / HOST_REPS
+    host_per_op = host_prove + (0.0 if PROVE_ONLY else host_verify)
+    print(
+        f"# host scalar: prove {host_prove:.2f} s, verify {host_verify:.2f} s",
+        file=sys.stderr,
+    )
 
     prover = BatchProver(params)
+    verifier = None if PROVE_ONLY else BatchVerifier(params)
 
     def run(seed_base):
         tapes = [rng.DeterministicSource(seed_base + i) for i in range(B)]
@@ -73,23 +85,37 @@ def main() -> None:
     # warm-up: compile everything
     t0 = time.perf_counter()
     proofs = run(10_000)
-    warm = time.perf_counter() - t0
-    print(f"# warm-up (incl compile): {warm:.1f} s", file=sys.stderr)
-    assert verify_signature_list(params, msgs[0], ring, proofs[0]), "bench proof invalid"
+    print(f"# prove warm-up (incl compile): {time.perf_counter() - t0:.1f} s", file=sys.stderr)
+    if verifier is not None:
+        t0 = time.perf_counter()
+        ok = verifier.verify(msgs, ring, proofs)
+        print(f"# verify warm-up (incl compile): {time.perf_counter() - t0:.1f} s", file=sys.stderr)
+        assert all(ok), f"batched verify failed on warm-up: {ok}"
+    else:
+        assert verify_signature_list(params, msgs[0], ring, proofs[0]), "bench proof invalid"
 
     t0 = time.perf_counter()
-    run(20_000)
-    elapsed = time.perf_counter() - t0
-    throughput = B / elapsed
-    print(f"# batched prove: {elapsed:.2f} s for {B} proofs", file=sys.stderr)
+    proofs = run(20_000)
+    t_prove = time.perf_counter() - t0
+    print(f"# batched prove: {t_prove:.2f} s for {B} proofs", file=sys.stderr)
+    t_verify = 0.0
+    if verifier is not None:
+        t0 = time.perf_counter()
+        ok = verifier.verify(msgs, ring, proofs)
+        t_verify = time.perf_counter() - t0
+        assert all(ok), f"batched verify failed: {ok}"
+        print(f"# batched verify: {t_verify:.2f} s for {B} proofs", file=sys.stderr)
 
+    throughput = B / (t_prove + t_verify)
     print(
         json.dumps(
             {
-                "metric": "zkattest_prove_throughput",
+                "metric": "zkattest_prove_verify_throughput"
+                if not PROVE_ONLY
+                else "zkattest_prove_throughput",
                 "value": round(throughput, 4),
                 "unit": "proofs/sec",
-                "vs_baseline": round(throughput * host_per_proof, 4),
+                "vs_baseline": round(throughput * host_per_op, 4),
             }
         )
     )

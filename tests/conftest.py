@@ -2,18 +2,28 @@
 
 Device tests run on a virtual 8-device CPU mesh (multi-chip shardings are
 validated without TPU hardware, per the build contract); host-layer tests
-never touch JAX.  Must set env vars before anything imports jax.
+never touch JAX.
+
+The environment's sitecustomize registers the tunneled-TPU (axon) backend
+and imports jax at interpreter boot, freezing ``jax_platforms`` before any
+conftest code runs - so overriding the env var here is NOT enough; the
+platform must be forced through ``jax.config.update`` (backends initialize
+lazily at the first ``jax.devices()`` call, which is late enough).
 """
 
 import os
 
-# The environment ships JAX_PLATFORMS=axon (one tunneled TPU chip); tests
-# must run on the virtual CPU mesh, so override unconditionally.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA_FLAGS is read by the XLA CPU client at creation time (lazy), so the
+# env route still works for the host-platform device count.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["XLA_FLAGS"] = flags
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
@@ -30,7 +40,10 @@ def deterministic_rng():
 def pytest_configure(config):
     # Persistent XLA compilation cache: the limb/curve kernels are large
     # graphs; caching makes repeated test runs cheap.
-    import jax
-
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    devs = jax.devices()
+    assert devs[0].platform == "cpu" and len(devs) == 8, (
+        f"tests must run on the virtual 8-device CPU mesh, got {devs}"
+    )

@@ -50,6 +50,26 @@ def test_device_msm_null_relation_is_identity():
         assert device_msm(g, pts, scs).is_identity()
 
 
+def test_msm_ladder_matches_msm():
+    import jax.numpy as jnp
+
+    from zkecdsa_tpu.ops.curve_ops import nibble_digits, scalar_bits, tom_ops
+
+    g = tomEdwards256
+    G = g.generator()
+    pts = [G.mul(g.new_scalar(i + 2)) for i in range(6)]
+    scs = [g.random_scalar().k for _ in range(6)]
+    arr = jnp.asarray(tom_ops.pack_points(pts))
+    win = tom_ops.msm(arr, jnp.asarray(nibble_digits(scs)))
+    lad = tom_ops.msm_ladder(arr, jnp.asarray(scalar_bits(scs)))
+    assert bool(tom_ops.eq(win, lad))
+    want = g.identity()
+    for p, s in zip(pts, scs):
+        want = want.add(p.mul(g.new_scalar(s)))
+    got = tom_ops.unpack_points(lad[None])[0]
+    assert got.eq(want)
+
+
 @pytest.mark.slow
 def test_batched_verify_end_to_end():
     with rng.deterministic(9):
@@ -66,3 +86,42 @@ def test_batched_verify_end_to_end():
         # negative: wrong message must fail through the device MSM too
         bad = hashlib.sha256(b"other").digest()
         assert batched_verify_signature_list(params, [bad], ring, [proof]) == [False]
+
+
+@pytest.mark.slow
+def test_batched_verify_mixed_batch():
+    """One good proof, one tampered, one for a different ring position -
+    per-instance verdicts must be independent."""
+    from zkecdsa_tpu.protocol.batch_verify import BatchVerifier
+
+    with rng.deterministic(11):
+        params = generate_params_list()
+        msgs, proofs, ring, kps, pubs = [], [], [], [], []
+        for i in range(2):
+            kp = ecdsa.generate_keypair()
+            pub = ecdsa.export_public_raw(kp)
+            kps.append(kp)
+            pubs.append(pub)
+            ring.append(ecdsa.key_to_int(pub))
+        ring += [21, 22]
+        for i in range(2):
+            msg = f"mixed {i}".encode()
+            mh = hashlib.sha256(msg).digest()
+            msgs.append(mh)
+            proofs.append(
+                prove_signature_list(
+                    params, mh, ecdsa.sign(kps[i], msg), pubs[i], i, ring
+                )
+            )
+        bv = BatchVerifier(params)
+        assert bv.verify(msgs, ring, proofs) == [True, True]
+        # tamper with one GK response scalar
+        saved = proofs[1].membershipProof.f[0]
+        proofs[1].membershipProof.f[0] = proofs[1].membershipProof.f[1]
+        assert bv.verify(msgs, ring, proofs) == [True, False]
+        proofs[1].membershipProof.f[0] = saved
+        # malformed structure: truncated exp rounds -> False, not a raise
+        saved_exp = proofs[0].expProof
+        proofs[0].expProof = saved_exp[:10]
+        assert bv.verify(msgs, ring, proofs) == [False, True]
+        proofs[0].expProof = saved_exp

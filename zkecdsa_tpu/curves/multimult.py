@@ -70,6 +70,11 @@ class MultiMult:
     def __len__(self) -> int:
         return len(self._points)
 
+    def pairs(self) -> tuple[list[Point], list[int]]:
+        """The accumulated (points, scalar ints) - for external batched
+        evaluation (one device MSM over many MultiMults)."""
+        return list(self._points), [s.k for s in self._scalars]
+
     def evaluate(self) -> Point:
         if not self._points:
             return self.group.identity()

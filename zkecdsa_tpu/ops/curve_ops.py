@@ -32,6 +32,7 @@ __all__ = [
     "tom_ops",
     "war_ops",
     "nibble_digits",
+    "scalar_bits",
 ]
 
 WINDOW = 4
@@ -40,12 +41,22 @@ TABLE = 1 << WINDOW
 
 
 def nibble_digits(scalars, width: int = NDIGITS_256) -> np.ndarray:
-    """Base-16 digits, most significant first: [N, width] int32."""
-    out = np.zeros((len(scalars), width), dtype=np.int32)
-    for i, s in enumerate(scalars):
-        for j in range(width):
-            out[i, width - 1 - j] = (s >> (4 * j)) & 0xF
+    """Base-16 digits, most significant first: [N, width] int32.
+    Vectorized via a big-endian byte view (width must be even)."""
+    nbytes = width // 2
+    buf = b"".join(int(s).to_bytes(nbytes, "big") for s in scalars)
+    by = np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), nbytes)
+    out = np.empty((len(scalars), width), dtype=np.int32)
+    out[:, 0::2] = by >> 4
+    out[:, 1::2] = by & 0xF
     return out
+
+
+def scalar_bits(scalars, width: int = 256) -> np.ndarray:
+    """Bits, most significant first: [N, width] uint8 (for msm_ladder)."""
+    buf = b"".join(int(s).to_bytes(width // 8, "big") for s in scalars)
+    by = np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), width // 8)
+    return np.unpackbits(by, axis=1)
 
 
 class CurveOps:
@@ -55,6 +66,26 @@ class CurveOps:
 
     def __init__(self, field: FieldCtx) -> None:
         self.f = field
+        # Every public device entry point is jitted at construction: on the
+        # tunneled TPU backend, eager dispatch costs ~1-15 ms/op and eager
+        # lax.scan is interpreted (measured ~26,000x slower than the jitted
+        # scan for the windowed scalar-mul) - composition must happen under
+        # jit.  Traces cache per shape; the persistent compilation cache
+        # makes them survive process restarts.
+        self.add = jax.jit(self.add)
+        self.dbl = jax.jit(self.dbl)
+        self.neg = jax.jit(self.neg)
+        self.table = jax.jit(self.table)
+        self.scalar_mul_table = jax.jit(self.scalar_mul_table)
+        self.scalar_mul = jax.jit(self.scalar_mul)
+        self.double_mul_tables = jax.jit(self.double_mul_tables)
+        self.double_mul = jax.jit(self.double_mul)
+        self.sum_reduce = jax.jit(self.sum_reduce, static_argnames=("axis",))
+        self.msm = jax.jit(self.msm)
+        self.msm_ladder = jax.jit(self.msm_ladder)
+        self.to_affine = jax.jit(self.to_affine)
+        self.eq = jax.jit(self.eq)
+        self.is_identity = jax.jit(self.is_identity)
 
     # -- subclass interface -------------------------------------------------
     def add(self, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
@@ -93,14 +124,18 @@ class CurveOps:
 
     def _gather(self, table: jnp.ndarray, digit: jnp.ndarray) -> jnp.ndarray:
         """table [..., 16, C, L], digit [...] -> [..., C, L]; table batch
-        dims broadcast against the digit batch."""
+        dims broadcast against the digit batch.
+
+        Implemented as a select chain rather than a gather: a gather over a
+        broadcast table materializes the [batch, 16, C, L] operand (GBs for
+        a shared table against an [N, 80] digit batch - enough to take the
+        worker down), while 15 fused `where`s never expand the table axis."""
         batch = jnp.broadcast_shapes(table.shape[:-3], digit.shape)
-        table = jnp.broadcast_to(table, batch + table.shape[-3:])
-        idx = jnp.broadcast_to(
-            digit[..., None, None, None].astype(jnp.int32),
-            batch + (1,) + table.shape[-2:],
-        )
-        return jnp.take_along_axis(table, idx, axis=-3)[..., 0, :, :]
+        d = digit[..., None, None]
+        acc = jnp.broadcast_to(table[..., 0, :, :], batch + table.shape[-2:])
+        for k in range(1, TABLE):
+            acc = jnp.where(d == k, table[..., k, :, :], acc)
+        return acc
 
     def scalar_mul_table(self, tab: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
         """Windowed multiply from a precomputed table [..., 16, C, L] and
@@ -179,6 +214,26 @@ class CurveOps:
         then one tree reduction.  points [N, C, L], digits [N, D]."""
         return self.sum_reduce(self.scalar_mul(points, digits), axis=0)
 
+    def msm_ladder(self, points: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
+        """Batched-row MSM without window tables: per-term MSB-first
+        double-and-add (256 masked steps), then a tree reduction over the
+        term axis.  points [..., T, C, L], bits [..., T, 256] (MSB first)
+        -> [..., C, L].
+
+        Unlike :meth:`msm` this builds no [T, 16] tables, so whole proof
+        batches fit in HBM ([N, T] term lanes in one dispatch) - the
+        batched replacement for the reference's per-verification Bos-Coster
+        heap (multimult.ts:61-145)."""
+        bcols = jnp.moveaxis(bits, -1, 0)  # [256, ..., T]
+
+        def step(acc, b):
+            acc = self.dbl(acc)
+            cand = self.add(acc, points)
+            return self.select(b > 0, cand, acc), None
+
+        acc, _ = jax.lax.scan(step, self.identity(points.shape[:-2]), bcols)
+        return self.sum_reduce(acc, axis=-3)
+
     def eq(self, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
         """Projective equality via cross-multiplication (batched)."""
         f = self.f
@@ -221,7 +276,11 @@ class WeierOps(CurveOps):
 
     def __init__(self, field: FieldCtx, b: int, group) -> None:
         super().__init__(field)
-        self.b = field.const(b)
+        # numpy, not a device array: closed-over device-array constants make
+        # XLA treat every op using them as having a captured buffer operand,
+        # which on this backend runs ~10^4x slower than an inlined literal
+        # (and long enough to trip the device watchdog at scale).
+        self.b = field.pack_scalar(b)
         self.group = group  # host group for unpack
 
     def identity_coords(self) -> np.ndarray:
@@ -305,8 +364,9 @@ class EdwardsOps(CurveOps):
 
     def __init__(self, field: FieldCtx, a: int, d: int, group) -> None:
         super().__init__(field)
-        self.a = field.const(a)
-        self.d = field.const(d)
+        # numpy literals, not device arrays (see WeierOps.__init__).
+        self.a = field.pack_scalar(a)
+        self.d = field.pack_scalar(d)
         self.group = group
 
     def identity_coords(self) -> np.ndarray:

@@ -106,27 +106,36 @@ class FieldCtx:
 
     def pack(self, values, mont: bool = True) -> np.ndarray:
         """Python ints -> [N, L] uint32 limb array (Montgomery domain by
-        default)."""
-        out = np.empty((len(values), self.nlimbs), dtype=np.uint32)
-        for i, v in enumerate(values):
-            v = v % self.p
-            if mont:
-                v = v * self.R % self.p
-            out[i] = _int_to_limbs(v, self.nlimbs)
-        return out
+        default).  Limb split vectorized via a little-endian byte view."""
+        p, R, nbytes = self.p, self.R, self.nlimbs * 2
+        if mont:
+            buf = b"".join((v % p * R % p).to_bytes(nbytes, "little") for v in values)
+        else:
+            buf = b"".join((v % p).to_bytes(nbytes, "little") for v in values)
+        return (
+            np.frombuffer(buf, dtype="<u2")
+            .reshape(len(values), self.nlimbs)
+            .astype(np.uint32)
+        )
 
     def unpack(self, arr, mont: bool = True) -> list[int]:
         """[..., L] limb array -> list of Python ints (flattened leading
         dims)."""
-        a = np.asarray(arr, dtype=np.uint64).reshape(-1, self.nlimbs)
-        shifts = np.uint64(BASE_BITS) * np.arange(self.nlimbs, dtype=np.uint64)
-        out = []
-        for row in a:
-            v = sum(int(d) << int(s) for d, s in zip(row, shifts))
-            if mont:
-                v = v * self.R_inv % self.p
-            out.append(v)
-        return out
+        a = np.ascontiguousarray(
+            np.asarray(arr).reshape(-1, self.nlimbs).astype("<u2")
+        )
+        buf = a.tobytes()
+        nbytes = self.nlimbs * 2
+        if mont:
+            R_inv, p = self.R_inv, self.p
+            return [
+                int.from_bytes(buf[i : i + nbytes], "little") * R_inv % p
+                for i in range(0, len(buf), nbytes)
+            ]
+        return [
+            int.from_bytes(buf[i : i + nbytes], "little")
+            for i in range(0, len(buf), nbytes)
+        ]
 
     def pack_scalar(self, v: int, mont: bool = True) -> np.ndarray:
         return self.pack([v], mont)[0]
@@ -364,9 +373,13 @@ class FieldCtx:
     def equal(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         return jnp.all(a == b, axis=-1)
 
-    def const(self, v: int, mont: bool = True) -> jnp.ndarray:
-        """Constant as a [L] device array (Montgomery by default)."""
-        return jnp.asarray(self.pack_scalar(v, mont), jnp.uint32)
+    def const(self, v: int, mont: bool = True) -> np.ndarray:
+        """Constant as a [L] numpy array (Montgomery by default).
+
+        Numpy, not a device array: numpy constants inline as XLA literals;
+        a closed-over *device* array becomes a captured buffer operand,
+        which this backend executes pathologically slowly (~10^4x)."""
+        return self.pack_scalar(v, mont)
 
 
 # ---- the moduli of the two-curve design (SURVEY section 1) ----

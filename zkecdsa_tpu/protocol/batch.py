@@ -76,18 +76,25 @@ class DeviceParams:
 
     def __init__(self, params: SystemParametersList) -> None:
         self.params = params
-        self.tab_g_tom = tom_ops.table(
-            jnp.asarray(tom_ops.pack_points([params.proof_group.g])[0])
-        )
-        self.tab_h_tom = tom_ops.table(
-            jnp.asarray(tom_ops.pack_points([params.proof_group.h])[0])
-        )
-        self.tab_G = p256_ops.table(
-            jnp.asarray(p256_ops.pack_points([p256.generator()])[0])
-        )
-        self.tab_h_nist = p256_ops.table(
-            jnp.asarray(p256_ops.pack_points([params.nist_group.h])[0])
-        )
+        # Tables are built on HOST points and stored as numpy: the phase
+        # functions close over them, and a closed-over *device* array
+        # becomes a captured-buffer constant that this backend executes
+        # pathologically slowly (long enough to trip the device watchdog);
+        # numpy constants inline as XLA literals (a few KB each).
+        self.tab_g_tom = self._host_table(tom_ops, params.proof_group.g)
+        self.tab_h_tom = self._host_table(tom_ops, params.proof_group.h)
+        self.tab_G = self._host_table(p256_ops, p256.generator())
+        self.tab_h_nist = self._host_table(p256_ops, params.nist_group.h)
+
+    @staticmethod
+    def _host_table(ops, base) -> np.ndarray:
+        """[16, C, L] window table of 0..15 multiples, computed with host
+        EC arithmetic (16 tiny muls, done once per parameter set)."""
+        group = base.group
+        pts = [group.identity()]
+        for _ in range(15):
+            pts.append(pts[-1].add(base))
+        return ops.pack_points(pts)
 
     # -- batched commitment on the proof group: g*v + h*r ------------------
     def commit_tom(self, v_std: jnp.ndarray, r_std: jnp.ndarray) -> jnp.ndarray:
@@ -216,9 +223,11 @@ def _phase_fns(dev_id: int):
             "ints": ints_std,
         }
 
-    # The building blocks inside (scans) compile and cache individually;
-    # whole-phase jit would produce multi-hundred-thousand-op XLA modules.
-    return phase_a, phase_b
+    # Whole-phase jit: every building block inside is scan-based, so the
+    # phase modules stay small enough to compile, and on the tunneled TPU
+    # backend eager composition costs ~1-15 ms per dispatched op (eager
+    # lax.scan is interpreted) - phases MUST be single compiled programs.
+    return jax.jit(phase_a), jax.jit(phase_b)
 
 
 # Slot order of the stacked phase-B Pedersen commitments.  Values for slots

@@ -34,7 +34,13 @@ from ..ops.limbs import TOM_N
 from ..ops.curve_ops import tom_ops
 from ..utils import rng
 
-__all__ = ["gk_dvalues_device", "gk_recombine_device", "batch_prove_membership", "batch_verify_membership"]
+__all__ = [
+    "gk_dvalues_device",
+    "gk_recombine_device",
+    "batch_prove_membership",
+    "batch_verify_membership",
+    "aggregate_membership",
+]
 
 fo = TOM_N
 
@@ -45,6 +51,7 @@ def _ring_len(n_values: int) -> tuple[int, int]:
     return pad_len, n
 
 
+@jax.jit
 def gk_dvalues_device(
     eli: jnp.ndarray,  # [N, n] int32 index bits (LSB first)
     ai: jnp.ndarray,  # [N, n, L] mont
@@ -80,6 +87,7 @@ def gk_dvalues_device(
     return jnp.stack(dvs, axis=1)  # [N, n, L]
 
 
+@jax.jit
 def gk_recombine_device(
     f: jnp.ndarray,  # [N, n, L] mont (response scalars)
     xf: jnp.ndarray,  # [N, n, L] mont (x - f)
@@ -215,29 +223,40 @@ def batch_verify_membership(
         multi = MultiMult(c)
         multi.add_known(params.g)
         multi.add_known(params.h)
-        x = xs[i]
-        one = c.new_scalar(1)
-        for j in range(n):
-            rel0 = Relation(c)
-            rel0.insert_m(
-                [proof.cl[j], proof.ca[j], params.g, params.h],
-                [c.new_scalar(x), one, proof.f[j].neg(), proof.za[j].neg()],
-            )
-            rel0.drain(multi)
-            rel1 = Relation(c)
-            rel1.insert_m(
-                [proof.cl[j], proof.cb[j], params.h],
-                [c.new_scalar((x - proof.f[j].k) % order), one, proof.zb[j].neg()],
-            )
-            rel1.drain(multi)
-        rel_final = Relation(c)
-        for j in range(n):
-            rel_final.insert(proof.cd[j], c.new_scalar(-pow(x, j, order) % order))
-        rel_final.insert(coms[i], c.new_scalar(pow(x, n, order)))
-        rel_final.insert_m(
-            [params.g, params.h],
-            [c.new_scalar(-totals[i] % order), proof.zd.neg()],
-        )
-        rel_final.drain(multi)
+        aggregate_membership(params, coms[i], n, proof, xs[i], totals[i], multi)
         results.append(multi.evaluate().is_identity())
     return results
+
+
+def aggregate_membership(params, com, n: int, proof: GKProof, x: int,
+                         total: int, multi) -> None:
+    """Drain the GK bit relations + final relation into ``multi``, given the
+    (device-computed) ring recombination ``total`` (gk.ts:223-259).  Length
+    checks are the caller's job."""
+    from ..curves.multimult import Relation
+
+    c = params.c
+    order = c.order
+    one = c.new_scalar(1)
+    for j in range(n):
+        rel0 = Relation(c)
+        rel0.insert_m(
+            [proof.cl[j], proof.ca[j], params.g, params.h],
+            [c.new_scalar(x), one, proof.f[j].neg(), proof.za[j].neg()],
+        )
+        rel0.drain(multi)
+        rel1 = Relation(c)
+        rel1.insert_m(
+            [proof.cl[j], proof.cb[j], params.h],
+            [c.new_scalar((x - proof.f[j].k) % order), one, proof.zb[j].neg()],
+        )
+        rel1.drain(multi)
+    rel_final = Relation(c)
+    for j in range(n):
+        rel_final.insert(proof.cd[j], c.new_scalar(-pow(x, j, order) % order))
+    rel_final.insert(com, c.new_scalar(pow(x, n, order)))
+    rel_final.insert_m(
+        [params.g, params.h],
+        [c.new_scalar(-total % order), proof.zd.neg()],
+    )
+    rel_final.drain(multi)

@@ -1,0 +1,350 @@
+"""Batched ZKAttest verifier - the TPU-native counterpart of
+:mod:`zkecdsa_tpu.protocol.batch` (reference src/zkpAttestList.ts:147-184,
+src/exp/exp.ts:233-349 run per proof; here one device pipeline verifies a
+whole batch).
+
+Phase structure:
+
+* host: structural checks, Fiat-Shamir challenge recomputation, the random
+  20-of-80 round sample (exp.ts:95-109), GK challenge hashes;
+* device phase V (batched): Q = z1*G, the sampled rounds' T = m*R (m =
+  alpha for challenge-bit-1 rounds, z for bit-0), T1 = T + Q, one affine
+  pass, and the bit-0 T1x/T1y coordinate commitments - replacing the
+  ~60 sequential host scalar-mults per proof of the scalar verifier;
+* host: relation assembly (exact reference algebra: equality/mult/pointAdd
+  aggregations, GK bit relations + device ring recombination) into one
+  MultiMult per (proof, curve);
+* device MSM: every proof's accumulated pairs evaluated in a single
+  ``msm_ladder`` dispatch per curve ([N, T] term lanes), identity-checked
+  on device.
+
+Semantics match ``verify_signature_list`` per instance, with one
+difference: structural errors that make the scalar verifier *raise*
+(missing optional ExpProof fields, points at infinity, secparam >
+len(expProof)) mark just that instance False here - a batch must not die
+on one malformed proof.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bignum import big
+from ..curves.group import Group, Point, hash_points
+from ..curves.instances import p256
+from ..curves.multimult import MultiMult
+from ..exp.exp import generate_indices, padded_bits
+from ..exp.pointAdd import aggregate_point_add
+from ..ops.curve_ops import nibble_digits, p256_ops, scalar_bits, tom_ops, war_ops
+from ..ops.limbs import TOM_N
+from ..proofGK.gk import _pad
+from ..zkp_attest_list import SignatureProofList, SystemParametersList, _truncate_to_n
+from .batch import DeviceParams, _DEV_REGISTRY, _nist_pt, _tom_pt, _pk_scalars, _unp
+from .batch_gk import _ring_len, aggregate_membership, gk_recombine_device
+
+__all__ = ["BatchVerifier", "batch_verify_signature_list"]
+
+VERIFY_ROUNDS = 20  # hardcoded by the reference (zkpAttestList.ts:177)
+
+_OPS = {"p256": p256_ops, "tomEdwards256": tom_ops, "war256": war_ops}
+
+
+@functools.lru_cache(maxsize=8)
+def _vphase_fn(dev_id: int):
+    dev = _DEV_REGISTRY[dev_id]
+    fw = p256_ops.f
+    ft = tom_ops.f
+
+    def vphase(R, z1d, md, bits, rb):
+        """R [N,3,L] packed P-256 points; z1d [N,64] digits; md [N,S,64]
+        digits (alpha or z per sampled round); bits [N,S] bool; rb
+        [N,S,2,L] Tom-order blinding limbs (std).  Everything the exp
+        verifier needs from the device in one pass."""
+        Q = p256_ops.scalar_mul_table(dev.tab_G, z1d)  # [N,3,L]
+        tab_R = p256_ops.table(R)
+        T0 = p256_ops.scalar_mul_table(tab_R[:, None], md)  # [N,S,3,L]
+        T1 = p256_ops.add(T0, Q[:, None])  # bit-0: T1 = z*R + Q
+        Tc = p256_ops.select(bits, T0, T1)  # coordinate source
+        st = jnp.stack([T0, Tc], axis=-3)  # [N,S,2,3,L]
+        x, y, inf = p256_ops.to_affine(st)
+        x, y = fw.from_mont(x), fw.from_mont(y)
+        sx, sy = x[..., 1, :], y[..., 1, :]
+        com = dev.commit_tom(jnp.stack([sx, sy], axis=-2), rb)  # [N,S,2,4,L]
+        cx, cy, _ = tom_ops.to_affine(com)
+        cx, cy = ft.from_mont(cx), ft.from_mont(cy)
+        return {
+            "T0_aff": (x[..., 0, :], y[..., 0, :], inf[..., 0]),
+            "coord": (sx, sy, inf[..., 1]),
+            "com_aff": (cx, cy),
+        }
+
+    # one compiled program per batch shape (see batch.py::_phase_fns)
+    return jax.jit(vphase)
+
+
+@functools.lru_cache(maxsize=16)
+def _msm_rows_fn(group_name: str, T: int):
+    ops = _OPS[group_name]
+
+    def rows(points, bits):
+        return ops.is_identity(ops.msm_ladder(points, bits))
+
+    return jax.jit(rows)
+
+
+def _batched_msm_identity(group: Group, rows: list[tuple[list[Point], list[int]]]) -> np.ndarray:
+    """One device dispatch: is Σ s_i P_i the identity, per row?  Rows are
+    padded with (identity, 0) to a shared power-of-two length."""
+    ops = _OPS[group.name]
+    N = len(rows)
+    tmax = max((len(p) for p, _ in rows), default=1)
+    T = 1 << max(8, (tmax - 1).bit_length())
+    ident = group.identity()
+    pts: list[Point] = []
+    scs: list[int] = []
+    for p, s in rows:
+        pts.extend(p)
+        pts.extend([ident] * (T - len(p)))
+        scs.extend(s)
+        scs.extend([0] * (T - len(s)))
+    arr = jnp.asarray(ops.pack_points(pts)).reshape(N, T, ops.NCOORD, ops.f.nlimbs)
+    bits = jnp.asarray(scalar_bits(scs).reshape(N, T, 256))
+    return np.asarray(_msm_rows_fn(group.name, T)(arr, bits))
+
+
+class BatchVerifier:
+    """Verifies batches of ``SignatureProofList`` against one parameter set
+    and one ring."""
+
+    def __init__(self, params: SystemParametersList) -> None:
+        self.params = params
+        self.dev = DeviceParams(params)
+        _DEV_REGISTRY[id(self.dev)] = self.dev
+        self.vphase = _vphase_fn(id(self.dev))
+
+    def verify(
+        self,
+        msg_hashes: Sequence[bytes],
+        keys: list[int],
+        proofs: Sequence[SignatureProofList],
+        timer=None,
+    ) -> list[bool]:
+        import contextlib
+
+        stage = timer.stage if timer is not None else (lambda _n: contextlib.nullcontext())
+        params = self.params
+        N = len(proofs)
+        S = VERIFY_ROUNDS
+        n_ord = p256.order
+        pg = params.proof_group
+        fo = TOM_N
+
+        ok = [True] * N
+        # ---- host: parse + challenges + round sampling ----
+        with stage("verify.host_prep"):
+            z1s = [0] * N
+            m_sc = [[0] * S for _ in range(N)]
+            rb = [[(0, 0)] * S for _ in range(N)]
+            sel_idx = [[0] * S for _ in range(N)]
+            sel_bit = [[True] * S for _ in range(N)]
+            for i, proof in enumerate(proofs):
+                pi = proof.expProof
+                coordR = proof.R.to_affine()
+                if coordR is None or S > len(pi):
+                    ok[i] = False
+                    continue
+                z = _truncate_to_n(big.from_bytes(msg_hashes[i]), n_ord)
+                rinv = big.inv_mod(coordR[0], n_ord)
+                z1s[i] = rinv * z % n_ord
+                pts = [proof.keyXcom, proof.keyYcom]
+                for p in pi:
+                    pts += [p.A, p.Tx, p.Ty]
+                challenge = hash_points(pts)
+                indices = generate_indices(S, len(pi))
+                bits = padded_bits(challenge, len(pi))
+                for j in range(S):
+                    r_i = indices[j]
+                    rp = pi[r_i]
+                    sel_idx[i][j] = r_i
+                    sel_bit[i][j] = bits[r_i]
+                    if bits[r_i]:
+                        if not (rp.alpha and rp.beta1 and rp.beta2 and rp.beta3):
+                            ok[i] = False
+                            break
+                        m_sc[i][j] = rp.alpha.k
+                    else:
+                        if not (rp.z and rp.z2 and rp.proof and rp.r1 and rp.r2):
+                            ok[i] = False
+                            break
+                        m_sc[i][j] = rp.z.k
+                        rb[i][j] = (rp.r1.k, rp.r2.k)
+
+        # ---- device phase V ----
+        with stage("verify.device"):
+            R_dev = jnp.asarray(p256_ops.pack_points([p.R for p in proofs]))
+            z1d = jnp.asarray(nibble_digits(z1s))
+            md = jnp.asarray(
+                nibble_digits([m for row in m_sc for m in row]).reshape(N, S, 64)
+            )
+            bitmask = jnp.asarray(np.array(sel_bit, dtype=bool))
+            rb_arr = _pk_scalars(
+                fo, [v for row in rb for pair in row for v in pair]
+            ).reshape(N, S, 2, -1)
+            v = self.vphase(R_dev, z1d, md, bitmask, rb_arr)
+
+        with stage("verify.unpack"):
+            t0x = _unp(p256_ops.f, v["T0_aff"][0])  # [N*S]
+            t0y = _unp(p256_ops.f, v["T0_aff"][1])
+            t0inf = np.asarray(v["T0_aff"][2]).reshape(N, S)
+            sxs = _unp(fo, v["coord"][0])  # base-field ints == Tom-order ints
+            sys_ = _unp(fo, v["coord"][1])
+            cinf = np.asarray(v["coord"][2]).reshape(N, S)
+            comx = _unp(tom_ops.f, v["com_aff"][0])  # [N*S*2]
+            comy = _unp(tom_ops.f, v["com_aff"][1])
+
+        # ---- GK: device ring recombination for all proofs ----
+        with stage("verify.gk_recombine"):
+            values_s = _pad(keys, pg.c)
+            RING, n = _ring_len(len(keys))
+            gk_x = [0] * N
+            for i, proof in enumerate(proofs):
+                mp = proof.membershipProof
+                if not ok[i]:
+                    continue
+                if any(
+                    len(arr) != n
+                    for arr in (mp.cl, mp.ca, mp.cb, mp.cd, mp.f, mp.za, mp.zb)
+                ):
+                    ok[i] = False
+                    continue
+                gk_x[i] = hash_points(mp.cl + mp.ca + mp.cb + mp.cd)
+            t_ord = pg.c.order
+            f_ints = [
+                [proofs[i].membershipProof.f[j].k if ok[i] else 0 for j in range(n)]
+                for i in range(N)
+            ]
+            xf_ints = [
+                [(gk_x[i] - f_ints[i][j]) % t_ord for j in range(n)]
+                for i in range(N)
+            ]
+            vals_dev = jnp.asarray(fo.pack([v_.k for v_ in values_s]))
+            f_dev = jnp.asarray(
+                fo.pack([x for row in f_ints for x in row])
+            ).reshape(N, n, -1)
+            xf_dev = jnp.asarray(
+                fo.pack([x for row in xf_ints for x in row])
+            ).reshape(N, n, -1)
+            totals = fo.unpack(gk_recombine_device(f_dev, xf_dev, vals_dev))
+
+        # ---- host: relation assembly per proof ----
+        with stage("verify.assemble"):
+            rows_w: list[tuple[list[Point], list[int]]] = []
+            rows_n: list[tuple[list[Point], list[int]]] = []
+            for i, proof in enumerate(proofs):
+                if not ok[i]:
+                    rows_w.append(([], []))
+                    rows_n.append(([], []))
+                    continue
+                multiW = MultiMult(pg.c)
+                multiW.add_known(pg.g)
+                multiW.add_known(pg.h)
+                multiN = MultiMult(p256)
+                multiN.add_known(proof.R)
+                multiN.add_known(params.nist_group.h)
+                multiN.add_known(proof.comS1)
+                aggregate_membership(
+                    pg, proof.keyXcom, n, proof.membershipProof, gk_x[i],
+                    totals[i], multiW,
+                )
+                if not self._aggregate_exp(
+                    proof, i, multiW, multiN,
+                    sel_idx[i], sel_bit[i],
+                    t0x, t0y, t0inf, sxs, sys_, cinf, comx, comy,
+                ):
+                    ok[i] = False
+                    rows_w.append(([], []))
+                    rows_n.append(([], []))
+                    continue
+                rows_w.append(multiW.pairs())
+                rows_n.append(multiN.pairs())
+
+        # ---- device MSMs (one dispatch per curve) ----
+        with stage("verify.msm"):
+            ok_w = _batched_msm_identity(pg.c, rows_w)
+            ok_n = _batched_msm_identity(p256, rows_n)
+        return [bool(ok[i] and ok_w[i] and ok_n[i]) for i in range(N)]
+
+    def _aggregate_exp(
+        self, proof, i, multiW, multiN,
+        idxs, bits, t0x, t0y, t0inf, sxs, sys_, cinf, comx, comy,
+    ) -> bool:
+        """Exp relations for the sampled rounds, using the device-computed
+        points (exp.ts:263-346 algebra, host scalar arithmetic)."""
+        from ..curves.multimult import Relation
+
+        params = self.params
+        pg = params.proof_group
+        pi = proof.expProof
+        S = VERIFY_ROUNDS
+        one_n = p256.new_scalar(1)
+        one_w = pg.c.new_scalar(1)
+        h_n = params.nist_group.h
+        # indices were stored per sampled slot; recompute base offset
+        for j in range(S):
+            k = i * S + j
+            rp = pi[idxs[j]]
+            if cinf[i, j]:
+                return False  # T (or T1) at infinity
+            sx = pg.c.new_scalar(sxs[k])
+            sy = pg.c.new_scalar(sys_[k])
+            if bits[j]:
+                T = _nist_pt(t0x[k], t0y[k]) if not t0inf[i, j] else p256.identity()
+                relA = Relation(p256)
+                relA.insert_m(
+                    [T, h_n, rp.A.neg()], [one_n, rp.beta1, one_n]
+                )
+                relA.drain(multiN)
+                relTx = Relation(pg.c)
+                relTx.insert_m(
+                    [pg.g, pg.h, rp.Tx.neg()], [sx, rp.beta2, one_w]
+                )
+                relTx.drain(multiW)
+                relTy = Relation(pg.c)
+                relTy.insert_m(
+                    [pg.g, pg.h, rp.Ty.neg()], [sy, rp.beta3, one_w]
+                )
+                relTy.drain(multiW)
+            else:
+                T1 = (
+                    _nist_pt(t0x[k], t0y[k])
+                    if not t0inf[i, j]
+                    else p256.identity()
+                )
+                relA = Relation(p256)
+                relA.insert_m(
+                    [T1, proof.comS1, rp.A.neg(), h_n],
+                    [one_n, one_n, one_n, rp.z2],
+                )
+                relA.drain(multiN)
+                T1x = _tom_pt(comx[k * 2], comy[k * 2])
+                T1y = _tom_pt(comx[k * 2 + 1], comy[k * 2 + 1])
+                if not aggregate_point_add(
+                    pg, T1x, T1y, proof.keyXcom, proof.keyYcom,
+                    rp.Tx, rp.Ty, rp.proof, multiW,
+                ):
+                    return False
+        return True
+
+
+def batch_verify_signature_list(
+    params: SystemParametersList,
+    msg_hashes: Sequence[bytes],
+    keys: list[int],
+    proofs: Sequence[SignatureProofList],
+) -> list[bool]:
+    return BatchVerifier(params).verify(msg_hashes, keys, proofs)

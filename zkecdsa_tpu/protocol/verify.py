@@ -71,8 +71,9 @@ def batched_verify_signature_list(
     keys: list[int],
     proofs: Sequence[SignatureProofList],
 ) -> list[bool]:
-    with device_msm_backend():
-        return [
-            verify_signature_list(params, mh, keys, proof)
-            for mh, proof in zip(msg_hashes, proofs)
-        ]
+    """Batched verification: device round computations + one ladder-MSM
+    dispatch per curve for the whole batch (see
+    :mod:`zkecdsa_tpu.protocol.batch_verify`)."""
+    from .batch_verify import BatchVerifier
+
+    return BatchVerifier(params).verify(msg_hashes, keys, proofs)
