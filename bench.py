@@ -94,17 +94,26 @@ def main() -> None:
     else:
         assert verify_signature_list(params, msgs[0], ring, proofs[0]), "bench proof invalid"
 
+    timer = None
+    if os.environ.get("BENCH_STAGES", "") == "1":
+        from zkecdsa_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+
     t0 = time.perf_counter()
-    proofs = run(20_000)
+    tapes = [rng.DeterministicSource(20_000 + i) for i in range(B)]
+    proofs = prover.prove(msgs, sigs, pubs, whichs, ring, tapes, timer=timer)
     t_prove = time.perf_counter() - t0
     print(f"# batched prove: {t_prove:.2f} s for {B} proofs", file=sys.stderr)
     t_verify = 0.0
     if verifier is not None:
         t0 = time.perf_counter()
-        ok = verifier.verify(msgs, ring, proofs)
+        ok = verifier.verify(msgs, ring, proofs, timer=timer)
         t_verify = time.perf_counter() - t0
         assert all(ok), f"batched verify failed: {ok}"
         print(f"# batched verify: {t_verify:.2f} s for {B} proofs", file=sys.stderr)
+    if timer is not None:
+        print(timer.report(), file=sys.stderr)
 
     throughput = B / (t_prove + t_verify)
     print(

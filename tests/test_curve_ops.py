@@ -41,6 +41,10 @@ def _build(ops, g):
             "smul": ops.scalar_mul(P, d1),
             "dmul": ops.double_mul(P, d1, Q, d2),
             "msm": ops.msm(P, d1),
+            "msm_shared": ops.msm_shared(P, d1),
+            "msm_shared_rows": ops.msm_shared(
+                jnp.stack([P, Q]), jnp.stack([d1, d2])
+            ),
             "affine": ops.to_affine(P),
             "ident_affine": ops.to_affine(ident),
         }
@@ -96,6 +100,22 @@ def test_msm_matches_host(case):
     for h, s in zip(pts, ss):
         acc = acc.add(h.mul(g.new_scalar(s)))
     assert acc.eq(got)
+
+
+def test_msm_shared_matches_host(case):
+    ops, g, pts, qts, ss, s2, out = case
+    got = ops.unpack_points(out["msm_shared"][None])[0]
+    acc = g.identity()
+    for h, s in zip(pts, ss):
+        acc = acc.add(h.mul(g.new_scalar(s)))
+    assert acc.eq(got)
+    # batched rows: [2, B] terms -> [2] independent MSMs
+    r0, r1 = ops.unpack_points(out["msm_shared_rows"])
+    assert acc.eq(r0)
+    acc2 = g.identity()
+    for h, s in zip(qts, s2):
+        acc2 = acc2.add(h.mul(g.new_scalar(s)))
+    assert acc2.eq(r1)
 
 
 def test_to_affine_matches_host(case):

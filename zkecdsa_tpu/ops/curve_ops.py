@@ -83,6 +83,7 @@ class CurveOps:
         self.sum_reduce = jax.jit(self.sum_reduce, static_argnames=("axis",))
         self.msm = jax.jit(self.msm)
         self.msm_ladder = jax.jit(self.msm_ladder)
+        self.msm_shared = jax.jit(self.msm_shared)
         self.to_affine = jax.jit(self.to_affine)
         self.eq = jax.jit(self.eq)
         self.is_identity = jax.jit(self.is_identity)
@@ -233,6 +234,32 @@ class CurveOps:
 
         acc, _ = jax.lax.scan(step, self.identity(points.shape[:-2]), bcols)
         return self.sum_reduce(acc, axis=-3)
+
+    def msm_shared(self, points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+        """Straus (interleaved-window) MSM: sum_i s_i * P_i with the
+        doublings shared across ALL terms.  points [..., T, C, L], digits
+        [..., T, D] MSB-first 4-bit -> [..., C, L].
+
+        Per digit column the accumulator (ONE point per MSM row, not one
+        per term) is doubled 4x and the T gathered window multiples are
+        tree-summed into it, so the whole MSM costs D*(4 dbl + T adds) +
+        15*T table adds instead of the per-term ladder's T*(256 dbl + 256
+        add): ~7x fewer point ops for T=256.  This is the batched,
+        constant-shape replacement for the reference's Bos-Coster heap
+        (multimult.ts:61-145), which shares doublings data-dependently.
+        Costs a [..., T, 16, C, L] window table in HBM - callers chunk the
+        batch when that exceeds budget (see protocol/batch_verify.py)."""
+        tabs = self.table(points)  # [..., T, 16, C, L]
+        batch = jnp.broadcast_shapes(points.shape[:-3], digits.shape[:-2])
+        dcols = jnp.moveaxis(digits, -1, 0)  # [D, ..., T]
+
+        def step(acc, d):
+            acc = self.dbl(self.dbl(self.dbl(self.dbl(acc))))
+            terms = self._gather(tabs, d)  # [..., T, C, L]
+            return self.add(acc, self.sum_reduce(terms, axis=-3)), None
+
+        acc, _ = jax.lax.scan(step, self.identity(batch), dcols)
+        return acc
 
     def eq(self, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
         """Projective equality via cross-multiplication (batched)."""

@@ -40,7 +40,7 @@ from ..curves.instances import p256
 from ..curves.multimult import MultiMult
 from ..exp.exp import generate_indices, padded_bits
 from ..exp.pointAdd import aggregate_point_add
-from ..ops.curve_ops import nibble_digits, p256_ops, scalar_bits, tom_ops, war_ops
+from ..ops.curve_ops import TABLE, nibble_digits, p256_ops, tom_ops, war_ops
 from ..ops.limbs import TOM_N
 from ..proofGK.gk import _pad
 from ..zkp_attest_list import SignatureProofList, SystemParametersList, _truncate_to_n
@@ -91,19 +91,27 @@ def _vphase_fn(dev_id: int):
 def _msm_rows_fn(group_name: str, T: int):
     ops = _OPS[group_name]
 
-    def rows(points, bits):
-        return ops.is_identity(ops.msm_ladder(points, bits))
+    def rows(points, digits):
+        return ops.is_identity(ops.msm_shared(points, digits))
 
     return jax.jit(rows)
 
 
+# HBM budget for the [N, T, 16, C, L] Straus window tables built by
+# msm_shared; batches whose tables would exceed it are split into chunks
+# (multiple dispatches of the same compiled program when chunk shapes
+# repeat).
+MSM_TABLE_BYTES = 1 << 29  # 512 MiB
+
+
 def _batched_msm_identity(group: Group, rows: list[tuple[list[Point], list[int]]]) -> np.ndarray:
-    """One device dispatch: is Σ s_i P_i the identity, per row?  Rows are
-    padded with (identity, 0) to a shared power-of-two length."""
+    """One device dispatch (chunked only when the Straus tables would blow
+    the HBM budget): is Σ s_i P_i the identity, per row?  Rows are padded
+    with (identity, 0) to a shared power-of-two length."""
     ops = _OPS[group.name]
     N = len(rows)
     tmax = max((len(p) for p, _ in rows), default=1)
-    T = 1 << max(8, (tmax - 1).bit_length())
+    T = 1 << max(5, (tmax - 1).bit_length())
     ident = group.identity()
     pts: list[Point] = []
     scs: list[int] = []
@@ -113,8 +121,15 @@ def _batched_msm_identity(group: Group, rows: list[tuple[list[Point], list[int]]
         scs.extend(s)
         scs.extend([0] * (T - len(s)))
     arr = jnp.asarray(ops.pack_points(pts)).reshape(N, T, ops.NCOORD, ops.f.nlimbs)
-    bits = jnp.asarray(scalar_bits(scs).reshape(N, T, 256))
-    return np.asarray(_msm_rows_fn(group.name, T)(arr, bits))
+    digits = jnp.asarray(nibble_digits(scs).reshape(N, T, 64))
+    row_bytes = T * TABLE * ops.NCOORD * ops.f.nlimbs * 4
+    chunk = max(1, min(N, MSM_TABLE_BYTES // row_bytes))
+    fn = _msm_rows_fn(group.name, T)
+    out = [
+        np.asarray(fn(arr[i : i + chunk], digits[i : i + chunk]))
+        for i in range(0, N, chunk)
+    ]
+    return np.concatenate(out)
 
 
 class BatchVerifier:
