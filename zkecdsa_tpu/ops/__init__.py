@@ -1,4 +1,4 @@
-from .limbs import FieldCtx, P256_N, P256_P, TOM_N, TOM_P, WAR_P  # noqa: F401
+from .f32field import F32Field, P256_N, P256_P, TOM_N, TOM_P, WAR_P  # noqa: F401
 from .curve_ops import (  # noqa: F401
     EdwardsOps,
     WeierOps,

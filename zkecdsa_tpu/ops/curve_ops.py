@@ -1,8 +1,8 @@
 """Batched elliptic-curve kernels on limb arrays (the TPU curve layer).
 
-A batch of points is a ``uint32`` array ``[..., C, L]`` (C = 3 projective
-coordinates for Weierstrass, 4 extended coordinates for Edwards; L = field
-limbs, Montgomery domain).  All formulas are the *complete/unified*
+A batch of points is a float32 digit array ``[..., C, L]`` (C = 3
+projective coordinates for Weierstrass, 4 extended coordinates for
+Edwards; L = base-2^7 field digits, see ops/f32field.py).  All formulas are the *complete/unified*
 published ones - Renes-Costello-Batina 2015 for a = -3 short Weierstrass,
 Hisil et al. 2008 for twisted Edwards - the same algebra as the host layer
 (zkecdsa_tpu/curves/weier.py, edwards.py), evaluated branchlessly so
@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .limbs import BASE_BITS, FieldCtx, P256_P, TOM_P, WAR_P
+from .f32field import F32Field, P256_P, TOM_P, WAR_P
 
 __all__ = [
     "WeierOps",
@@ -64,7 +64,7 @@ class CurveOps:
 
     NCOORD: int = 3
 
-    def __init__(self, field: FieldCtx) -> None:
+    def __init__(self, field: F32Field) -> None:
         self.f = field
         # Every public device entry point is jitted at construction: on the
         # tunneled TPU backend, eager dispatch costs ~1-15 ms/op and eager
@@ -103,7 +103,7 @@ class CurveOps:
 
     # -- generic ------------------------------------------------------------
     def identity(self, batch_shape: tuple = ()) -> jnp.ndarray:
-        ident = jnp.asarray(self.identity_coords(), jnp.uint32)
+        ident = jnp.asarray(self.identity_coords())
         return jnp.broadcast_to(ident, batch_shape + ident.shape)
 
     def select(self, mask: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
@@ -287,7 +287,7 @@ class CurveOps:
     # -- host packing -------------------------------------------------------
 
     def pack_points(self, pts) -> np.ndarray:
-        """Host curve points -> [N, C, L] uint32 (Montgomery)."""
+        """Host curve points -> [N, C, L] float32 digits."""
         raise NotImplementedError
 
     def unpack_points(self, arr):
@@ -301,7 +301,7 @@ class WeierOps(CurveOps):
 
     NCOORD = 3
 
-    def __init__(self, field: FieldCtx, b: int, group) -> None:
+    def __init__(self, field: F32Field, b: int, group) -> None:
         super().__init__(field)
         # numpy, not a device array: closed-over device-array constants make
         # XLA treat every op using them as having a captured buffer operand,
@@ -312,7 +312,7 @@ class WeierOps(CurveOps):
 
     def identity_coords(self) -> np.ndarray:
         L = self.f.nlimbs
-        out = np.zeros((3, L), dtype=np.uint32)
+        out = np.zeros((3, L), dtype=np.float32)
         out[1] = self.f.pack_scalar(1)
         return out
 
@@ -389,7 +389,7 @@ class EdwardsOps(CurveOps):
 
     NCOORD = 4
 
-    def __init__(self, field: FieldCtx, a: int, d: int, group) -> None:
+    def __init__(self, field: F32Field, a: int, d: int, group) -> None:
         super().__init__(field)
         # numpy literals, not device arrays (see WeierOps.__init__).
         self.a = field.pack_scalar(a)
@@ -398,7 +398,7 @@ class EdwardsOps(CurveOps):
 
     def identity_coords(self) -> np.ndarray:
         L = self.f.nlimbs
-        out = np.zeros((4, L), dtype=np.uint32)
+        out = np.zeros((4, L), dtype=np.float32)
         out[1] = self.f.pack_scalar(1)
         out[3] = self.f.pack_scalar(1)
         return out

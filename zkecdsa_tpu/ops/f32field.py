@@ -395,12 +395,16 @@ class F32Field:
 
     # ---------- digit extraction (device) ----------
 
-    def digits4(self, x: jnp.ndarray, width: int = 64) -> jnp.ndarray:
+    def digits4(
+        self, x: jnp.ndarray, width: int = 64, canonical: bool = False
+    ) -> jnp.ndarray:
         """MSB-first 4-bit window digits of the canonical value:
         [..., width] float32 in [0, 16).  Bit j of the value is bit
         (j mod 7) of canonical digit (j div 7); a nibble spans at most two
-        digits, extracted with static indices and exact float shifts."""
-        c = self.canon(x)
+        digits, extracted with static indices and exact float shifts.
+        Pass ``canonical=True`` for host-packed inputs to skip the
+        canonicalization ripple."""
+        c = x if canonical else self.canon(x)
         zero = jnp.zeros_like(c[..., 0])
         nibs = []
         for k in range(width):

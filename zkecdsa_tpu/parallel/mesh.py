@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.curve_ops import tom_ops
-from ..ops.limbs import TOM_N
+from ..ops.f32field import TOM_N
 
 __all__ = ["make_mesh", "sharded_commit", "sharded_gk_total", "sharded_msm"]
 

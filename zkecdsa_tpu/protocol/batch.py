@@ -45,7 +45,7 @@ from ..proofGK.interpolate import interpolate
 from ..utils import rng
 from ..zkp_attest_list import SignatureProofList, SystemParametersList, _truncate_to_n
 from ..ops.curve_ops import p256_ops, tom_ops
-from ..ops.limbs import P256_N, TOM_N, BASE_BITS
+from ..ops.f32field import P256_N, TOM_N
 
 __all__ = ["BatchProver", "batched_prove_signature_list"]
 
@@ -56,14 +56,11 @@ SECPARAM = 80
 # device helpers
 # ---------------------------------------------------------------------------
 
-def _digits_of(ctx, x: jnp.ndarray) -> jnp.ndarray:
-    """Standard-domain limbs [..., L] -> MSB-first 4-bit digits [..., 4L]."""
-    parts = []
-    for i in reversed(range(ctx.nlimbs)):
-        limb = x[..., i]
-        for shift in (12, 8, 4, 0):
-            parts.append((limb >> shift) & 0xF)
-    return jnp.stack(parts, axis=-1).astype(jnp.int32)
+def _digits_of(ctx, x: jnp.ndarray, canonical: bool = True) -> jnp.ndarray:
+    """Digit array [..., L] -> MSB-first 4-bit window digits [..., 64].
+    ``canonical=True`` for host-packed scalars (skips the canon ripple);
+    device-computed scalars must pass ``canonical=False``."""
+    return ctx.digits4(x, canonical=canonical)
 
 
 def _std(ctx, x_mont: jnp.ndarray) -> jnp.ndarray:
@@ -97,12 +94,14 @@ class DeviceParams:
         return ops.pack_points(pts)
 
     # -- batched commitment on the proof group: g*v + h*r ------------------
-    def commit_tom(self, v_std: jnp.ndarray, r_std: jnp.ndarray) -> jnp.ndarray:
+    def commit_tom(
+        self, v_std: jnp.ndarray, r_std: jnp.ndarray, canonical: bool = True
+    ) -> jnp.ndarray:
         return tom_ops.double_mul_tables(
             self.tab_g_tom,
-            _digits_of(TOM_N, v_std),
+            _digits_of(TOM_N, v_std, canonical=canonical),
             self.tab_h_tom,
-            _digits_of(TOM_N, r_std),
+            _digits_of(TOM_N, r_std, canonical=canonical),
         )
 
 
@@ -195,7 +194,7 @@ def _phase_fns(dev_id: int):
         # fill computed values into the commit stack (slots 0..5)
         fills = [t1x, t1y, ints_std[1], ints_std[3], ints_std[4], ints_std[6]]
         com_vals = com_vals.at[..., :6, :].set(jnp.stack(fills, axis=-2))
-        commits = dev.commit_tom(com_vals, com_blinds)  # [N, 80, K, 4, L]
+        commits = dev.commit_tom(com_vals, com_blinds, canonical=False)  # [N, 80, K, 4, L]
         T1xC = commits[..., 0, :, :]
         T1yC = commits[..., 1, :, :]
         # homomorphic difference commitments (pointAdd.ts:137-143)
@@ -211,7 +210,7 @@ def _phase_fns(dev_id: int):
             [ints_std[0], ints_std[1], ints_std[3], ints_std[3]], axis=-2
         )  # [N, 80, 4, L]
         tab_cy = tom_ops.table(cys)
-        C4s = tom_ops.scalar_mul_table(tab_cy, _digits_of(fo, xs))
+        C4s = tom_ops.scalar_mul_table(tab_cy, _digits_of(fo, xs, canonical=False))
         kx = com_vals[..., 6:10, :]
         A42s = tom_ops.scalar_mul_table(tab_cy, _digits_of(fo, kx))
         # one affine conversion for every Tom point produced here

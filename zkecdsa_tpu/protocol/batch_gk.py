@@ -30,7 +30,7 @@ from ..curves.group import hash_points
 from ..curves.instances import tomEdwards256
 from ..proofGK.gk import GKProof, _pad
 from ..proofGK.interpolate import interpolate
-from ..ops.limbs import TOM_N
+from ..ops.f32field import TOM_N
 from ..ops.curve_ops import tom_ops
 from ..utils import rng
 
@@ -97,7 +97,7 @@ def gk_recombine_device(
     RING = values.shape[0]
     n = f.shape[1]
     pix = jnp.broadcast_to(
-        jnp.asarray(fo.one_mont, jnp.uint32), (f.shape[0], RING, fo.nlimbs)
+        jnp.asarray(fo.one), (f.shape[0], RING, fo.nlimbs)
     )
     idx = np.arange(RING)
     for j in range(n):

@@ -41,7 +41,7 @@ from ..curves.multimult import MultiMult
 from ..exp.exp import generate_indices, padded_bits
 from ..exp.pointAdd import aggregate_point_add
 from ..ops.curve_ops import TABLE, nibble_digits, p256_ops, tom_ops, war_ops
-from ..ops.limbs import TOM_N
+from ..ops.f32field import TOM_N
 from ..proofGK.gk import _pad
 from ..zkp_attest_list import SignatureProofList, SystemParametersList, _truncate_to_n
 from .batch import DeviceParams, _DEV_REGISTRY, _nist_pt, _tom_pt, _pk_scalars, _unp

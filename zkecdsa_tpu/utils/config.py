@@ -23,7 +23,6 @@ class Config:
     batch_size: int = 16
     msm_pad: int = 64  # MSM term padding bucket
     # device
-    mul_backend: str = "jnp"  # "jnp" | "pallas"
     mesh_dp: int = 1
     mesh_ring: int = 1
     # observability
@@ -53,7 +52,3 @@ def get_config() -> Config:
 def set_config(cfg: Config) -> None:
     global _config
     _config = cfg
-    if cfg.mul_backend != "jnp":
-        from ..ops.limbs import set_mul_backend
-
-        set_mul_backend(cfg.mul_backend)
