@@ -1,8 +1,8 @@
 """Batched ZKAttest on the device pipeline.
 
 Proves a batch of independent signatures under one ring in one
-phase-structured device pipeline, then verifies them with the device MSM
-backend.  Compare examples/usage.py (scalar host path).
+phase-structured device pipeline, then verifies the whole batch with the
+batched device verifier.  Compare examples/usage.py (scalar host path).
 """
 
 import hashlib
@@ -17,7 +17,7 @@ jax.config.update(
 )
 
 from zkecdsa_tpu import ecdsa, generate_params_list, key_to_int
-from zkecdsa_tpu.protocol import BatchProver, batched_verify_signature_list
+from zkecdsa_tpu.protocol import BatchProver, BatchVerifier
 from zkecdsa_tpu.serde import write_json
 from zkecdsa_tpu.zkp_attest_list import SignatureProofList
 
@@ -48,7 +48,7 @@ def main() -> None:
     print(f"proof size: {len(write_json(SignatureProofList, proofs[0]))} bytes")
 
     t0 = time.perf_counter()
-    oks = batched_verify_signature_list(params, msgs, ring, proofs)
+    oks = BatchVerifier(params).verify(msgs, ring, proofs)
     t1 = time.perf_counter()
     print(f"batched verify: {t1 - t0:.2f}s -> {oks}")
     assert all(oks)

@@ -142,3 +142,46 @@ def test_sum_reduce_odd_padding():
     P = jnp.asarray(ops.pack_points(pts))
     got = ops.unpack_points(ops.sum_reduce(P)[None])[0]
     assert got.eq(g.generator().mul(g.new_scalar(17)))
+
+
+def test_msm_pippenger_matches_host():
+    import numpy as np
+
+    from zkecdsa_tpu.curves import tomEdwards256 as g
+    from zkecdsa_tpu.ops.curve_ops import tom_ops
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(3)
+    T = 37  # non-power-of-two, with duplicate and zero scalars
+    G = g.generator()
+    pts = [G.mul(g.new_scalar(k + 2)) for k in range(T)]
+    scs = [int.from_bytes(rs.bytes(32), "big") for _ in range(T - 3)]
+    scs += [0, scs[0], 1]  # zero scalar, duplicate, unit
+    arr = jnp.asarray(tom_ops.pack_points(pts))
+    got = tom_ops.unpack_points(tom_ops.msm_pippenger(arr, scs)[None])[0]
+    want = g.identity()
+    for p, s in zip(pts, scs):
+        want = want.add(p.mul(g.new_scalar(s)))
+    assert got.eq(want)
+
+
+def test_msm_pippenger_window4_matches():
+    import numpy as np
+
+    from zkecdsa_tpu.curves import p256 as g
+    from zkecdsa_tpu.ops.curve_ops import p256_ops
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(4)
+    T = 16
+    G = g.generator()
+    pts = [G.mul(g.new_scalar(k + 5)) for k in range(T)]
+    scs = [int.from_bytes(rs.bytes(32), "big") for _ in range(T)]
+    arr = jnp.asarray(p256_ops.pack_points(pts))
+    got = p256_ops.unpack_points(
+        p256_ops.msm_pippenger(arr, scs, window=4)[None]
+    )[0]
+    want = g.identity()
+    for p, s in zip(pts, scs):
+        want = want.add(p.mul(g.new_scalar(s)))
+    assert got.eq(want)

@@ -139,6 +139,28 @@ def test_digits4_matches_host_nibbles(f):
         assert list(row) == want
 
 
+@pytest.mark.parametrize("f", [P256_N, TOM_N], ids=["p256.n", "tom.n"])
+def test_digits4_on_redundant_device_digits(f):
+    """Regression for the round-2 batched-pipeline break: device op
+    outputs keep redundant digits, and window extraction must still give
+    the nibbles of the canonical value.  ``digits4`` (safe default) must
+    equal ``digits4_canonical(canon(x))`` and the host nibble truth."""
+    a_i, b_i = rand_ints(f.p, 8), rand_ints(f.p, 8)
+    a, b = jnp.asarray(f.pack(a_i)), jnp.asarray(f.pack(b_i))
+
+    @jax.jit
+    def go(a, b):
+        prod = f.mul(a, b)  # redundant digits (<= STORED_BOUND)
+        return f.digits4(prod), f.digits4_canonical(f.canon(prod))
+
+    safe, via_canon = (np.asarray(x).astype(np.int64) for x in go(a, b))
+    assert np.array_equal(safe, via_canon)
+    for row, ai, bi in zip(safe, a_i, b_i):
+        v = ai * bi % f.p
+        want = [(v >> (4 * (63 - k))) & 0xF for k in range(64)]
+        assert list(row) == want
+
+
 def test_pow_const():
     f = P256_P
     vals = rand_ints(f.p, 4)

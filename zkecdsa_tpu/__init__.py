@@ -7,9 +7,10 @@ signature under one of a ring of public keys), redesigned TPU-first:
 * host scalar layer (this package's ``bignum``/``curves``/``commit``/
   ``exp``/``proofGK`` modules) - the exact-semantics correctness anchor and
   serde/Fiat-Shamir path;
-* batched device layer (``ops``: fixed-limb Montgomery field arithmetic,
-  branchless curve kernels, Pippenger MSM; ``protocol``: vectorized
-  prove/verify over proof batches; ``parallel``: mesh-sharded execution).
+* batched device layer (``ops``: base-2^7 float32-digit field arithmetic
+  on the VPU, branchless complete-formula curve kernels, shared-window
+  batched MSM; ``protocol``: phase-structured batched prove/verify over
+  proof batches; ``parallel``: mesh-sharded execution).
 
 Public API mirrors the reference entry point (reference src/index.ts):
 serde + curve instances + the ZKAttest list API.

@@ -19,6 +19,8 @@ replacement for the reference's sequential Bos-Coster heap
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -66,6 +68,7 @@ class CurveOps:
 
     def __init__(self, field: F32Field) -> None:
         self.f = field
+        self._pip_cache: dict[int, object] = {}  # msm_pippenger jits per window
         # Every public device entry point is jitted at construction: on the
         # tunneled TPU backend, eager dispatch costs ~1-15 ms/op and eager
         # lax.scan is interpreted (measured ~26,000x slower than the jitted
@@ -259,6 +262,116 @@ class CurveOps:
             return self.add(acc, self.sum_reduce(terms, axis=-3)), None
 
         acc, _ = jax.lax.scan(step, self.identity(batch), dcols)
+        return acc
+
+    def msm_pippenger(
+        self, points: jnp.ndarray, scalars: list[int], window: int = 8
+    ) -> jnp.ndarray:
+        """Pippenger bucket MSM: sum_i s_i * P_i for ONE row of T terms,
+        points [T, C, L] on device, scalars as host ints (they always are:
+        proof/relation scalars live on the host).  The batched replacement
+        for the reference's Bos-Coster heap (multimult.ts:61-145) at large
+        T, per SURVEY section 7.5.
+
+        Host side (cheap integer work): per w-bit window, the terms are
+        sorted by bucket digit and segment boundaries/bucket end positions
+        are computed.  Device side (static shapes): one gather applies the
+        sort permutation, a segmented Hillis-Steele scan (log2 T masked
+        adds) produces per-bucket sums at the segment ends, one gather
+        extracts them, and two ``lax.scan``s do the classic bucket fold
+        (sum of suffix sums) and the window fold (w doublings + add per
+        window).  Point-add count: D*(T + 2*2^w + w) vs Straus's
+        15*T + 64*(T+4) - and NO [T, 16] window table in HBM, which is
+        what caps msm_shared's batch size (protocol/batch_verify.py)."""
+        T = points.shape[0]
+        B = 1 << window
+        D = -(-256 // window)
+        digs = np.zeros((D, T), np.int64)
+        for d in range(D):
+            sh = window * (D - 1 - d)
+            for i, s in enumerate(scalars):
+                digs[d, i] = (int(s) >> sh) & (B - 1)
+        perm = np.argsort(digs, axis=1, kind="stable")  # [D, T]
+        sorted_d = np.take_along_axis(digs, perm, axis=1)
+        seg_start = np.ones((D, T), bool)
+        seg_start[:, 1:] = sorted_d[:, 1:] != sorted_d[:, :-1]
+        # bucket end position per (window, bucket); empty/zero buckets -> T
+        # (points are padded with one identity row at index T)
+        ends = np.full((D, B), T, np.int64)
+        for d in range(D):
+            ends[d, sorted_d[d]] = np.arange(T)  # last write wins = seg end
+        ends[:, 0] = T  # bucket 0 contributes nothing
+        return self._msm_pippenger_dev(
+            points,
+            jnp.asarray(perm, jnp.int32),
+            jnp.asarray(seg_start),
+            jnp.asarray(ends, jnp.int32),
+            window,
+        )
+
+    def _msm_pippenger_jit(self, window: int):
+        fn = self._pip_cache.get(window)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(self._msm_pippenger_body, window=window)
+            )
+            self._pip_cache[window] = fn
+        return fn
+
+    def _msm_pippenger_dev(self, points, perm, seg_start, ends, window):
+        return self._msm_pippenger_jit(window)(points, perm, seg_start, ends)
+
+    def _msm_pippenger_body(self, points, perm, seg_start, ends, window):
+        T = points.shape[0]
+        # pad one identity row so index T reads the identity
+        pts_pad = jnp.concatenate([points, self.identity((1,))], axis=0)
+        P = pts_pad[perm]  # [D, T, C, L]
+        # segmented inclusive scan of point sums along the term axis
+        # (after it, each segment end holds its bucket's full sum), as a
+        # lax.scan over the log2(T) doubling shifts so the masked point-add
+        # body is traced ONCE (an unrolled Hillis-Steele would re-trace the
+        # ~3k-op add per step - the compile-time pathology all over again)
+        shifts = jnp.asarray(
+            [1 << k for k in range(max(1, (T - 1).bit_length()))], jnp.int32
+        )
+
+        def seg_step(carry, shift):
+            val, flag = carry
+            v_prev = jnp.roll(val, shift, axis=1)
+            f_prev = jnp.roll(flag, shift, axis=1)
+            lead = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, val.shape[1]), 1)
+                < shift
+            )
+            v_prev = self.select(lead, self.identity(v_prev.shape[:-2]), v_prev)
+            f_prev = jnp.logical_or(f_prev, lead)
+            val = self.select(flag, val, self.add(v_prev, val))
+            return (val, flag | f_prev), None
+
+        (val, _), _ = jax.lax.scan(seg_step, (P, seg_start), shifts)
+        val = jnp.concatenate(
+            [val, self.identity((val.shape[0], 1))], axis=1
+        )  # index T = identity
+        buckets = jnp.take_along_axis(
+            val, ends[..., None, None], axis=1
+        )  # [D, B, C, L]
+        # bucket fold: sum_b b * bucket_b via running suffix sums
+        def bucket_step(carry, bkt):
+            run, acc = carry
+            run = self.add(run, bkt)
+            acc = self.add(acc, run)
+            return (run, acc), None
+
+        rev = jnp.moveaxis(jnp.flip(buckets[:, 1:], axis=1), 1, 0)  # [B-1, D, C, L]
+        ident_d = self.identity((buckets.shape[0],))
+        (_, wsum), _ = jax.lax.scan(bucket_step, (ident_d, ident_d), rev)
+        # window fold: acc = 2^w * acc + wsum_d
+        def win_step(acc, w):
+            for _ in range(window):
+                acc = self.dbl(acc)
+            return self.add(acc, w), None
+
+        acc, _ = jax.lax.scan(win_step, self.identity(()), wsum)
         return acc
 
     def eq(self, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:

@@ -56,7 +56,7 @@ def sharded_commit(mesh: Mesh, dev_params, vals: jnp.ndarray, blinds: jnp.ndarra
         out_specs=P("dp"),
     )
     def step(v, r):
-        return dev_params.commit_tom(v, r)
+        return dev_params.commit_tom(v, r, v_canon=True)
 
     return step(vals, blinds)
 

@@ -84,7 +84,7 @@ def gk_dvalues_device(
             half = terms.shape[1] // 2
             terms = fo.add(terms[:, :half], terms[:, half:])
         dvs.append(terms[:, 0])
-    return jnp.stack(dvs, axis=1)  # [N, n, L]
+    return fo.canon(jnp.stack(dvs, axis=1))  # [N, n, L] canonical
 
 
 @jax.jit
@@ -108,7 +108,7 @@ def gk_recombine_device(
     while terms.shape[1] > 1:
         half = terms.shape[1] // 2
         terms = fo.add(terms[:, :half], terms[:, half:])
-    return terms[:, 0]
+    return fo.canon(terms[:, 0])
 
 
 def batch_prove_membership(
@@ -148,7 +148,7 @@ def batch_prove_membership(
         ai_dev = jnp.asarray(fo.pack([a for row in ai for a in row])).reshape(N, n, -1)
         eli_dev = jnp.asarray(np.array(eli, dtype=np.int32))
         dv = gk_dvalues_device(eli_dev, ai_dev, vals_dev, vidx_dev)
-        dv_ints = fo.unpack(dv)  # [N*n]
+        dv_ints = fo.unpack_canonical(dv)  # [N*n]
     else:
         dv_ints = []
 
@@ -213,7 +213,7 @@ def batch_verify_membership(
     ]
     f_dev = jnp.asarray(fo.pack([v for row in f_ints for v in row])).reshape(N, n, -1)
     xf_dev = jnp.asarray(fo.pack([v for row in xf_ints for v in row])).reshape(N, n, -1)
-    totals = fo.unpack(gk_recombine_device(f_dev, xf_dev, vals_dev))
+    totals = fo.unpack_canonical(gk_recombine_device(f_dev, xf_dev, vals_dev))
 
     results = []
     for i, proof in enumerate(proofs):

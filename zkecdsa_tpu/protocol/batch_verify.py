@@ -14,8 +14,9 @@ Phase structure:
 * host: relation assembly (exact reference algebra: equality/mult/pointAdd
   aggregations, GK bit relations + device ring recombination) into one
   MultiMult per (proof, curve);
-* device MSM: every proof's accumulated pairs evaluated in a single
-  ``msm_ladder`` dispatch per curve ([N, T] term lanes), identity-checked
+* device MSM: every proof's accumulated pairs evaluated with the Straus
+  shared-window ``msm_shared`` kernel ([N, T] term lanes, chunked only
+  when the window tables would exceed the HBM budget), identity-checked
   on device.
 
 Semantics match ``verify_signature_list`` per instance, with one
@@ -44,47 +45,82 @@ from ..ops.curve_ops import TABLE, nibble_digits, p256_ops, tom_ops, war_ops
 from ..ops.f32field import TOM_N
 from ..proofGK.gk import _pad
 from ..zkp_attest_list import SignatureProofList, SystemParametersList, _truncate_to_n
-from .batch import DeviceParams, _DEV_REGISTRY, _nist_pt, _tom_pt, _pk_scalars, _unp
+from .batch import (
+    _digits_host,
+    _nist_pt,
+    _pk_scalars,
+    _tom_pt,
+    _unp,
+    device_params_for,
+)
 from .batch_gk import _ring_len, aggregate_membership, gk_recombine_device
 
 __all__ = ["BatchVerifier", "batch_verify_signature_list"]
 
-VERIFY_ROUNDS = 20  # hardcoded by the reference (zkpAttestList.ts:177)
+def _verify_rounds() -> int:
+    """Top-level verifier spot-check count.  The reference hardcodes 20
+    (zkpAttestList.ts:177); configurable here via Config.verify_rounds /
+    ZKECDSA_VERIFY_ROUNDS, defaulting to the reference's quirk."""
+    from ..utils.config import get_config
+
+    return get_config().verify_rounds
 
 _OPS = {"p256": p256_ops, "tomEdwards256": tom_ops, "war256": war_ops}
 
 
-@functools.lru_cache(maxsize=8)
-def _vphase_fn(dev_id: int):
-    dev = _DEV_REGISTRY[dev_id]
-    fw = p256_ops.f
-    ft = tom_ops.f
+fw = p256_ops.f
+ft = tom_ops.f
 
-    def vphase(R, z1d, md, bits, rb):
-        """R [N,3,L] packed P-256 points; z1d [N,64] digits; md [N,S,64]
-        digits (alpha or z per sampled round); bits [N,S] bool; rb
-        [N,S,2,L] Tom-order blinding limbs (std).  Everything the exp
-        verifier needs from the device in one pass."""
-        Q = p256_ops.scalar_mul_table(dev.tab_G, z1d)  # [N,3,L]
-        tab_R = p256_ops.table(R)
-        T0 = p256_ops.scalar_mul_table(tab_R[:, None], md)  # [N,S,3,L]
-        T1 = p256_ops.add(T0, Q[:, None])  # bit-0: T1 = z*R + Q
-        Tc = p256_ops.select(bits, T0, T1)  # coordinate source
-        st = jnp.stack([T0, Tc], axis=-3)  # [N,S,2,3,L]
-        x, y, inf = p256_ops.to_affine(st)
-        x, y = fw.from_mont(x), fw.from_mont(y)
-        sx, sy = x[..., 1, :], y[..., 1, :]
-        com = dev.commit_tom(jnp.stack([sx, sy], axis=-2), rb)  # [N,S,2,4,L]
-        cx, cy, _ = tom_ops.to_affine(com)
-        cx, cy = ft.from_mont(cx), ft.from_mont(cy)
-        return {
-            "T0_aff": (x[..., 0, :], y[..., 0, :], inf[..., 0]),
-            "coord": (sx, sy, inf[..., 1]),
-            "com_aff": (cx, cy),
-        }
 
-    # one compiled program per batch shape (see batch.py::_phase_fns)
-    return jax.jit(vphase)
+def _vphase_fn(dev):
+    """The jitted verifier phase (module-level, params-independent: the
+    base tables arrive as the ``tabs`` operand, see batch.py)."""
+    return _VPHASE
+
+
+def vphase(tabs, R, z1d, md, bits, rb):
+    """R [N,3,L] packed P-256 points; z1d [N,64] digits; md [N,S,64]
+    digits (alpha or z per sampled round); bits [N,S] bool; rb
+    [N,S,2,L] Tom-order blinding limbs (std).  Everything the exp
+    verifier needs from the device in one pass."""
+    # Q = z1*G and the S sampled rounds' T = m*R in ONE windowed-mul
+    # scan [N, S+1] (row 0 selects the G table, rows 1..S the per-proof
+    # R table) - each scan body costs ~6k HLO ops, so merging matters
+    # for compile time (VERDICT r2 weak #4)
+    S = md.shape[1]
+    tab_R = p256_ops.table(R)
+    is_q_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (S + 1, 1, 1, 1), 0) == 0
+    )
+    tabs_sel = jnp.where(is_q_row, tabs["G"], tab_R[:, None])
+    qt = p256_ops.scalar_mul_table(
+        tabs_sel, jnp.concatenate([z1d[:, None], md], axis=1)
+    )  # [N, S+1, 3, L]
+    Q, T0 = qt[:, 0], qt[:, 1:]
+    T1 = p256_ops.add(T0, Q[:, None])  # bit-0: T1 = z*R + Q
+    Tc = p256_ops.select(bits, T0, T1)  # coordinate source
+    st = jnp.stack([T0, Tc], axis=-3)  # [N,S,2,3,L]
+    x, y, inf = p256_ops.to_affine(st)
+    # canon: canonical digits feed the fast window-digit path below
+    # and the vectorized host unpack.  Committing the REDUNDANT affine
+    # output through the canonical fast path was half of the r2
+    # regression (the prover's TC commit was the other half).
+    x, y = fw.canon(x), fw.canon(y)
+    sx, sy = x[..., 1, :], y[..., 1, :]
+    com = tom_ops.double_mul_tables(
+        tabs["g_t"], _digits_host(TOM_N, jnp.stack([sx, sy], axis=-2)),
+        tabs["h_t"], _digits_host(TOM_N, rb),
+    )  # [N,S,2,4,L]
+    cx, cy, _ = tom_ops.to_affine(com)
+    cx, cy = ft.canon(cx), ft.canon(cy)
+    return {
+        "T0_aff": (x[..., 0, :], y[..., 0, :], inf[..., 0]),
+        "coord": (sx, sy, inf[..., 1]),
+        "com_aff": (cx, cy),
+    }
+
+# one compiled program per batch shape (see batch.py::_phase_fns)
+_VPHASE = jax.jit(vphase)
 
 
 @functools.lru_cache(maxsize=16)
@@ -97,10 +133,10 @@ def _msm_rows_fn(group_name: str, T: int):
     return jax.jit(rows)
 
 
-# HBM budget for the [N, T, 16, C, L] Straus window tables built by
-# msm_shared; batches whose tables would exceed it are split into chunks
-# (multiple dispatches of the same compiled program when chunk shapes
-# repeat).
+# HBM budget for one msm_shared chunk.  Peak live memory is ~2x the
+# [N, T, 16, C, L] window table (the scan carries the table plus the
+# per-column gathered terms and tree-reduce temporaries), so the chunker
+# charges 2x the table size against this budget (advisor r1 item).
 MSM_TABLE_BYTES = 1 << 29  # 512 MiB
 
 
@@ -110,6 +146,8 @@ def _batched_msm_identity(group: Group, rows: list[tuple[list[Point], list[int]]
     with (identity, 0) to a shared power-of-two length."""
     ops = _OPS[group.name]
     N = len(rows)
+    if N == 0:
+        return np.zeros(0, dtype=bool)
     tmax = max((len(p) for p, _ in rows), default=1)
     T = 1 << max(5, (tmax - 1).bit_length())
     ident = group.identity()
@@ -122,7 +160,7 @@ def _batched_msm_identity(group: Group, rows: list[tuple[list[Point], list[int]]
         scs.extend([0] * (T - len(s)))
     arr = jnp.asarray(ops.pack_points(pts)).reshape(N, T, ops.NCOORD, ops.f.nlimbs)
     digits = jnp.asarray(nibble_digits(scs).reshape(N, T, 64))
-    row_bytes = T * TABLE * ops.NCOORD * ops.f.nlimbs * 4
+    row_bytes = 2 * T * TABLE * ops.NCOORD * ops.f.nlimbs * 4
     chunk = max(1, min(N, MSM_TABLE_BYTES // row_bytes))
     fn = _msm_rows_fn(group.name, T)
     out = [
@@ -138,9 +176,9 @@ class BatchVerifier:
 
     def __init__(self, params: SystemParametersList) -> None:
         self.params = params
-        self.dev = DeviceParams(params)
-        _DEV_REGISTRY[id(self.dev)] = self.dev
-        self.vphase = _vphase_fn(id(self.dev))
+        self.dev = device_params_for(params)
+        self.tabs = self.dev.tabs()
+        self.vphase = _vphase_fn(self.dev)
 
     def verify(
         self,
@@ -154,7 +192,9 @@ class BatchVerifier:
         stage = timer.stage if timer is not None else (lambda _n: contextlib.nullcontext())
         params = self.params
         N = len(proofs)
-        S = VERIFY_ROUNDS
+        if N == 0:
+            return []  # empty batch: nothing to pack/reshape (advisor r1)
+        S = _verify_rounds()
         n_ord = p256.order
         pg = params.proof_group
         fo = TOM_N
@@ -210,7 +250,7 @@ class BatchVerifier:
             rb_arr = _pk_scalars(
                 fo, [v for row in rb for pair in row for v in pair]
             ).reshape(N, S, 2, -1)
-            v = self.vphase(R_dev, z1d, md, bitmask, rb_arr)
+            v = self.vphase(self.tabs, R_dev, z1d, md, bitmask, rb_arr)
 
         with stage("verify.unpack"):
             t0x = _unp(p256_ops.f, v["T0_aff"][0])  # [N*S]
@@ -254,7 +294,7 @@ class BatchVerifier:
             xf_dev = jnp.asarray(
                 fo.pack([x for row in xf_ints for x in row])
             ).reshape(N, n, -1)
-            totals = fo.unpack(gk_recombine_device(f_dev, xf_dev, vals_dev))
+            totals = fo.unpack_canonical(gk_recombine_device(f_dev, xf_dev, vals_dev))
 
         # ---- host: relation assembly per proof ----
         with stage("verify.assemble"):
@@ -305,7 +345,7 @@ class BatchVerifier:
         params = self.params
         pg = params.proof_group
         pi = proof.expProof
-        S = VERIFY_ROUNDS
+        S = _verify_rounds()
         one_n = p256.new_scalar(1)
         one_w = pg.c.new_scalar(1)
         h_n = params.nist_group.h

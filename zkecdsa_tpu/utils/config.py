@@ -30,15 +30,17 @@ class Config:
 
     @classmethod
     def from_env(cls) -> "Config":
+        """Defaults overridden by ``ZKECDSA_<FIELD>`` env vars; int-typed
+        fields are parsed, everything else is taken as a string."""
         cfg = cls()
         for field in dataclasses.fields(cls):
             env = os.environ.get("ZKECDSA_" + field.name.upper())
-            if env is not None:
-                value = field.type if isinstance(field.type, type) else str
-                if field.type in ("int", int):
-                    cfg.__setattr__(field.name, int(env))
-                else:
-                    cfg.__setattr__(field.name, env)
+            if env is None:
+                continue
+            is_int = field.type in ("int", int) or isinstance(
+                getattr(cfg, field.name), int
+            )
+            setattr(cfg, field.name, int(env) if is_int else env)
         return cfg
 
 
