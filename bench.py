@@ -43,19 +43,23 @@ def main() -> None:
 
     with rng.deterministic(42):
         params = generate_params_list()
-        msgs, sigs, pubs, whichs, ring = [], [], [], [], []
+        # RING keypairs; instance i signs under keypair i % RING so every
+        # proof's ring slot (whichs[i]) really holds its signer's key - a
+        # fresh key per instance with whichs = i % RING made proofs beyond
+        # the first RING genuinely invalid (wrong ring member), which the
+        # verifier rightly rejected.
+        kps = [ecdsa.generate_keypair() for _ in range(min(B, RING))]
+        ring = [
+            ecdsa.key_to_int(ecdsa.export_public_raw(kp)) for kp in kps
+        ] + list(range(1000, 1000 + max(0, RING - B)))
+        msgs, sigs, pubs, whichs = [], [], [], []
         for i in range(B):
-            kp = ecdsa.generate_keypair()
+            kp = kps[i % len(kps)]
             msg = f"bench message {i}".encode()
             sigs.append(ecdsa.sign(kp, msg))
-            pub = ecdsa.export_public_raw(kp)
+            pubs.append(ecdsa.export_public_raw(kp))
             msgs.append(hashlib.sha256(msg).digest())
-            pubs.append(pub)
-            ring.append(ecdsa.key_to_int(pub) if i < RING else 0)
-            whichs.append(i % RING)
-        ring = ring[:RING] + list(range(1000, 1000 + max(0, RING - B)))
-        ring = ring[:RING]
-        whichs = [w % RING for w in whichs]
+            whichs.append(i % len(kps))
 
     # baseline: host scalar prover + verifier (reference-class CPU impl)
     t0 = time.perf_counter()

@@ -123,7 +123,7 @@ def main() -> None:
     dp = device_params_for(params)
     vals = jnp.asarray(TOM_N.pack([int.from_bytes(rs.bytes(31), "big") for _ in range(B)]))
     blinds = jnp.asarray(TOM_N.pack([int.from_bytes(rs.bytes(31), "big") for _ in range(B)]))
-    cfn = jax.jit(lambda v, r: dp.commit_tom(v, r, v_host=True))
+    cfn = jax.jit(lambda v, r: dp.commit_tom(v, r, v_canon=True))
     _, dt = timeit(lambda: jax.block_until_ready(cfn(vals, blinds)), 5)
     row("pedersen/commit (batched device)", dt * 1e9 / B)
     _, dt = timeit(lambda: pp.commit(g.new_scalar(12345)), 10)

@@ -28,7 +28,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.curve_ops import tom_ops
 from ..ops.f32field import TOM_N
 
-__all__ = ["make_mesh", "sharded_commit", "sharded_gk_total", "sharded_msm"]
+__all__ = [
+    "make_mesh",
+    "make_mesh_2d",
+    "shard_batch",
+    "replicate",
+    "sharded_commit",
+    "sharded_gk_total",
+    "sharded_msm",
+]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
@@ -41,6 +49,32 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
 def make_mesh_2d(dp: int, ring: int) -> Mesh:
     devs = np.asarray(jax.devices()[: dp * ring]).reshape(dp, ring)
     return Mesh(devs, ("dp", "ring"))
+
+
+def shard_batch(mesh: Mesh | None, x: jnp.ndarray, axis: str = "dp"):
+    """Place ``x`` with its leading (batch) dimension sharded over ``axis``
+    and all other dims replicated.  No-op when ``mesh`` is None, so pipeline
+    code can shard unconditionally.  The batch dim must divide evenly: the
+    proof batch is padded by the caller (BatchProver/BatchVerifier pad with
+    repeated instances), never silently here."""
+    if mesh is None:
+        return x
+    n = mesh.shape[axis]
+    if x.shape[0] % n != 0:
+        raise ValueError(
+            f"batch dim {x.shape[0]} not divisible by mesh axis "
+            f"'{axis}' size {n}; pad the batch"
+        )
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def replicate(mesh: Mesh | None, tree):
+    """Replicate every array leaf of a pytree across the mesh (the Pedersen
+    base tables, ring value vectors, ... - operands every shard needs)."""
+    if mesh is None:
+        return tree
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), sh), tree)
 
 
 def sharded_commit(mesh: Mesh, dev_params, vals: jnp.ndarray, blinds: jnp.ndarray):

@@ -391,10 +391,19 @@ class _Tape:
 # ---------------------------------------------------------------------------
 
 class BatchProver:
-    def __init__(self, params: SystemParametersList) -> None:
+    """Batched prover; pass a ``jax.sharding.Mesh`` with a ``dp`` axis to
+    shard the proof batch across devices (pure data parallelism: the jitted
+    phase programs are shape-polymorphic over the batch dim, so GSPMD
+    partitions them with no cross-device collectives in the prove path).
+    The batch size must be divisible by the ``dp`` axis size."""
+
+    def __init__(self, params: SystemParametersList, mesh=None) -> None:
         self.params = params
         self.dev = device_params_for(params)
-        self.tabs = self.dev.tabs()
+        self.mesh = mesh
+        from ..parallel.mesh import replicate
+
+        self.tabs = replicate(mesh, self.dev.tabs())
         self.phase_a, self.phase_b = _phase_fns(self.dev)
 
     def prove(
@@ -454,21 +463,24 @@ class BatchProver:
                 txr[i][j] = tape.rnd(t_ord)
                 tyr[i][j] = tape.rnd(t_ord)
 
-        pk_dev = jnp.asarray(p256_ops.pack_points(pk_pts))
+        from ..parallel.mesh import shard_batch
+
+        mesh = self.mesh
+        pk_dev = shard_batch(mesh, jnp.asarray(p256_ops.pack_points(pk_pts)))
 
         def pack_n(vals):  # [N, L] nist-order scalars
-            return _pk_scalars(fn, vals)
+            return shard_batch(mesh, _pk_scalars(fn, vals))
 
         def pack_o(vals):
-            return _pk_scalars(fo, vals)
+            return shard_batch(mesh, _pk_scalars(fo, vals))
 
         def pack_n2(rows):  # [N, 80, L]
             flat = [v for row in rows for v in row]
-            return _pk_scalars(fn, flat).reshape(N, SECPARAM, -1)
+            return shard_batch(mesh, _pk_scalars(fn, flat).reshape(N, SECPARAM, -1))
 
         def pack_o2(rows):
             flat = [v for row in rows for v in row]
-            return _pk_scalars(fo, flat).reshape(N, SECPARAM, -1)
+            return shard_batch(mesh, _pk_scalars(fo, flat).reshape(N, SECPARAM, -1))
 
         with stage("phase_a.device"):
             a = self.phase_a(
@@ -576,8 +588,12 @@ class BatchProver:
                 blind_rows += [tape_b[nm][i][j] for nm in names_b]
                 blind_rows += axr[i][j] + ayr[i][j] + azr[i][j] + a41r[i][j]
                 blind_rows += a1r[i][j] + a2r[i][j]
-        com_vals = _pk_scalars(fo, vals_rows).reshape(N, SECPARAM, BK, -1)
-        com_blinds = _pk_scalars(fo, blind_rows).reshape(N, SECPARAM, BK, -1)
+        com_vals = shard_batch(
+            mesh, _pk_scalars(fo, vals_rows).reshape(N, SECPARAM, BK, -1)
+        )
+        com_blinds = shard_batch(
+            mesh, _pk_scalars(fo, blind_rows).reshape(N, SECPARAM, BK, -1)
+        )
 
         with stage("phase_b.device"):
             b = self.phase_b(
@@ -612,6 +628,7 @@ class BatchProver:
                 whichs,
                 keys,
                 [t.source for t in tapes],
+                mesh=mesh,
             )
 
         # ---- assemble exp proofs per instance/round ----

@@ -117,8 +117,12 @@ def batch_prove_membership(
     indices: Sequence[int],
     initial_values: list[int],
     tapes: Sequence[rng.RandomSource],
+    mesh=None,
 ) -> list[GKProof]:
-    """Batched prover, bit-identical to gk.prove_membership per tape."""
+    """Batched prover, bit-identical to gk.prove_membership per tape.
+    With a ``mesh``, the instance batch is dp-sharded and the ring value
+    vector replicated (the d-value evaluation is embarrassingly parallel
+    over instances)."""
     c = params.c
     order = c.order
     N = len(coms)
@@ -143,10 +147,18 @@ def batch_prove_membership(
 
     # device d-values
     if n > 0:
-        vals_dev = jnp.asarray(fo.pack([v.k for v in values_s]))
-        vidx_dev = jnp.asarray(fo.pack([values_s[indices[i]].k for i in range(N)]))
-        ai_dev = jnp.asarray(fo.pack([a for row in ai for a in row])).reshape(N, n, -1)
-        eli_dev = jnp.asarray(np.array(eli, dtype=np.int32))
+        from ..parallel.mesh import replicate, shard_batch
+
+        vals_dev = replicate(mesh, jnp.asarray(fo.pack([v.k for v in values_s])))
+        vidx_dev = shard_batch(
+            mesh,
+            jnp.asarray(fo.pack([values_s[indices[i]].k for i in range(N)])),
+        )
+        ai_dev = shard_batch(
+            mesh,
+            jnp.asarray(fo.pack([a for row in ai for a in row])).reshape(N, n, -1),
+        )
+        eli_dev = shard_batch(mesh, jnp.asarray(np.array(eli, dtype=np.int32)))
         dv = gk_dvalues_device(eli_dev, ai_dev, vals_dev, vidx_dev)
         dv_ints = fo.unpack_canonical(dv)  # [N*n]
     else:

@@ -140,10 +140,18 @@ def _msm_rows_fn(group_name: str, T: int):
 MSM_TABLE_BYTES = 1 << 29  # 512 MiB
 
 
-def _batched_msm_identity(group: Group, rows: list[tuple[list[Point], list[int]]]) -> np.ndarray:
+def _batched_msm_identity(
+    group: Group,
+    rows: list[tuple[list[Point], list[int]]],
+    mesh=None,
+) -> np.ndarray:
     """One device dispatch (chunked only when the Straus tables would blow
     the HBM budget): is Σ s_i P_i the identity, per row?  Rows are padded
-    with (identity, 0) to a shared power-of-two length."""
+    with (identity, 0) to a shared power-of-two length.  With a ``mesh``
+    the row batch is dp-sharded (each device builds only its shard's window
+    tables, so the HBM budget scales by the dp size)."""
+    from ..parallel.mesh import shard_batch
+
     ops = _OPS[group.name]
     N = len(rows)
     if N == 0:
@@ -161,23 +169,35 @@ def _batched_msm_identity(group: Group, rows: list[tuple[list[Point], list[int]]
     arr = jnp.asarray(ops.pack_points(pts)).reshape(N, T, ops.NCOORD, ops.f.nlimbs)
     digits = jnp.asarray(nibble_digits(scs).reshape(N, T, 64))
     row_bytes = 2 * T * TABLE * ops.NCOORD * ops.f.nlimbs * 4
-    chunk = max(1, min(N, MSM_TABLE_BYTES // row_bytes))
+    ndev = mesh.shape["dp"] if mesh is not None else 1
+    chunk = max(1, min(N, ndev * MSM_TABLE_BYTES // row_bytes))
+    if mesh is not None:
+        # keep chunks dp-divisible so every shard stays even
+        chunk = max(ndev, chunk - chunk % ndev)
     fn = _msm_rows_fn(group.name, T)
-    out = [
-        np.asarray(fn(arr[i : i + chunk], digits[i : i + chunk]))
-        for i in range(0, N, chunk)
-    ]
+    out = []
+    for i in range(0, N, chunk):
+        a, d = arr[i : i + chunk], digits[i : i + chunk]
+        if mesh is not None and a.shape[0] % ndev == 0:
+            a, d = shard_batch(mesh, a), shard_batch(mesh, d)
+        out.append(np.asarray(fn(a, d)))
     return np.concatenate(out)
 
 
 class BatchVerifier:
     """Verifies batches of ``SignatureProofList`` against one parameter set
-    and one ring."""
+    and one ring.  Pass a ``jax.sharding.Mesh`` with a ``dp`` axis to shard
+    the proof batch across devices (vphase, GK recombination and the final
+    identity-check MSMs all partition over the batch dim; the batch must be
+    divisible by the ``dp`` size)."""
 
-    def __init__(self, params: SystemParametersList) -> None:
+    def __init__(self, params: SystemParametersList, mesh=None) -> None:
         self.params = params
         self.dev = device_params_for(params)
-        self.tabs = self.dev.tabs()
+        self.mesh = mesh
+        from ..parallel.mesh import replicate
+
+        self.tabs = replicate(mesh, self.dev.tabs())
         self.vphase = _vphase_fn(self.dev)
 
     def verify(
@@ -240,16 +260,27 @@ class BatchVerifier:
                         rb[i][j] = (rp.r1.k, rp.r2.k)
 
         # ---- device phase V ----
+        from ..parallel.mesh import replicate, shard_batch
+
+        mesh = self.mesh
         with stage("verify.device"):
-            R_dev = jnp.asarray(p256_ops.pack_points([p.R for p in proofs]))
-            z1d = jnp.asarray(nibble_digits(z1s))
-            md = jnp.asarray(
-                nibble_digits([m for row in m_sc for m in row]).reshape(N, S, 64)
+            R_dev = shard_batch(
+                mesh, jnp.asarray(p256_ops.pack_points([p.R for p in proofs]))
             )
-            bitmask = jnp.asarray(np.array(sel_bit, dtype=bool))
-            rb_arr = _pk_scalars(
-                fo, [v for row in rb for pair in row for v in pair]
-            ).reshape(N, S, 2, -1)
+            z1d = shard_batch(mesh, jnp.asarray(nibble_digits(z1s)))
+            md = shard_batch(
+                mesh,
+                jnp.asarray(
+                    nibble_digits([m for row in m_sc for m in row]).reshape(N, S, 64)
+                ),
+            )
+            bitmask = shard_batch(mesh, jnp.asarray(np.array(sel_bit, dtype=bool)))
+            rb_arr = shard_batch(
+                mesh,
+                _pk_scalars(
+                    fo, [v for row in rb for pair in row for v in pair]
+                ).reshape(N, S, 2, -1),
+            )
             v = self.vphase(self.tabs, R_dev, z1d, md, bitmask, rb_arr)
 
         with stage("verify.unpack"):
@@ -287,13 +318,19 @@ class BatchVerifier:
                 [(gk_x[i] - f_ints[i][j]) % t_ord for j in range(n)]
                 for i in range(N)
             ]
-            vals_dev = jnp.asarray(fo.pack([v_.k for v_ in values_s]))
-            f_dev = jnp.asarray(
-                fo.pack([x for row in f_ints for x in row])
-            ).reshape(N, n, -1)
-            xf_dev = jnp.asarray(
-                fo.pack([x for row in xf_ints for x in row])
-            ).reshape(N, n, -1)
+            vals_dev = replicate(mesh, jnp.asarray(fo.pack([v_.k for v_ in values_s])))
+            f_dev = shard_batch(
+                mesh,
+                jnp.asarray(fo.pack([x for row in f_ints for x in row])).reshape(
+                    N, n, -1
+                ),
+            )
+            xf_dev = shard_batch(
+                mesh,
+                jnp.asarray(fo.pack([x for row in xf_ints for x in row])).reshape(
+                    N, n, -1
+                ),
+            )
             totals = fo.unpack_canonical(gk_recombine_device(f_dev, xf_dev, vals_dev))
 
         # ---- host: relation assembly per proof ----
@@ -330,8 +367,8 @@ class BatchVerifier:
 
         # ---- device MSMs (one dispatch per curve) ----
         with stage("verify.msm"):
-            ok_w = _batched_msm_identity(pg.c, rows_w)
-            ok_n = _batched_msm_identity(p256, rows_n)
+            ok_w = _batched_msm_identity(pg.c, rows_w, mesh=mesh)
+            ok_n = _batched_msm_identity(p256, rows_n, mesh=mesh)
         return [bool(ok[i] and ok_w[i] and ok_n[i]) for i in range(N)]
 
     def _aggregate_exp(
