@@ -39,8 +39,11 @@ def deterministic_rng():
 
 def pytest_configure(config):
     # Persistent XLA compilation cache: the limb/curve kernels are large
-    # graphs; caching makes repeated test runs cheap.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # graphs; caching makes repeated test runs cheap.  The suite gets its
+    # OWN directory: sharing one cache with a concurrently-running chip
+    # process (bench.py / tools) produced segfaults in the cache
+    # reader/writer (zstd on a partially-written entry).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     devs = jax.devices()

@@ -185,3 +185,49 @@ def test_msm_pippenger_window4_matches():
     for p, s in zip(pts, scs):
         want = want.add(p.mul(g.new_scalar(s)))
     assert got.eq(want)
+
+
+def test_comb_mul_matches_host():
+    """Fixed-base comb multiply (device-built table, one-hot MXU gathers)
+    vs host windowed multiplication - exact for random/edge scalars."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from zkecdsa_tpu.curves import p256, tomEdwards256
+    from zkecdsa_tpu.ops.curve_ops import byte_digits, p256_ops, tom_ops
+
+    rs = np.random.RandomState(8)
+    for g, ops in ((tomEdwards256, tom_ops), (p256, p256_ops)):
+        base = g.generator().mul(g.new_scalar(7))
+        comb = ops.comb_table(jnp.asarray(ops.pack_points([base]))[0])
+        scs = [int.from_bytes(rs.bytes(32), "big") % g.order for _ in range(6)]
+        scs += [0, 1, g.order - 1]
+        d8 = jnp.asarray(byte_digits(scs))
+        got = ops.unpack_points(np.asarray(ops.mul_comb(comb, d8)))
+        for pt, s in zip(got, scs):
+            assert pt.eq(base.mul(g.new_scalar(s))), s
+
+
+def test_double_mul_comb_matches_host():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from zkecdsa_tpu.curves import tomEdwards256 as g
+    from zkecdsa_tpu.ops.curve_ops import byte_digits, tom_ops
+
+    rs = np.random.RandomState(9)
+    P = g.generator()
+    Q = g.generator().mul(g.new_scalar(12345))
+    cp = tom_ops.comb_table(jnp.asarray(tom_ops.pack_points([P]))[0])
+    cq = tom_ops.comb_table(jnp.asarray(tom_ops.pack_points([Q]))[0])
+    a = [int.from_bytes(rs.bytes(32), "big") % g.order for _ in range(4)]
+    b = [int.from_bytes(rs.bytes(32), "big") % g.order for _ in range(4)]
+    got = tom_ops.unpack_points(
+        np.asarray(
+            tom_ops.double_mul_comb(
+                cp, jnp.asarray(byte_digits(a)), cq, jnp.asarray(byte_digits(b))
+            )
+        )
+    )
+    for pt, x, y in zip(got, a, b):
+        assert pt.eq(P.mul(g.new_scalar(x)).add(Q.mul(g.new_scalar(y))))

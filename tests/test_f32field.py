@@ -179,3 +179,18 @@ def test_broadcasting():
     ai = f.unpack(a)
     bi = f.unpack(b)[0]
     assert f.unpack(out) == [x * bi % f.p for x in ai]
+
+
+@pytest.mark.parametrize("f", [P256_N, TOM_N], ids=["p256.n", "tom.n"])
+def test_digits8_canonical_matches_host_bytes(f):
+    """LSB-first byte digits (the comb path's digit form) vs int.to_bytes."""
+    import jax
+
+    rs = np.random.RandomState(21)
+    ints = [int.from_bytes(rs.bytes(31), "big") % f.p for _ in range(8)]
+    ints += [0, 1, f.p - 1]
+    arr = jnp.asarray(f.pack(ints))
+    out = np.asarray(jax.jit(f.digits8_canonical)(arr)).astype(np.int64)
+    for row, v in zip(out, ints):
+        want = list((v % (1 << 256)).to_bytes(32, "little"))
+        assert list(row) == want, v

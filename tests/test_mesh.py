@@ -25,6 +25,8 @@ from zkecdsa_tpu.parallel.mesh import (
     replicate,
     shard_batch,
     sharded_commit,
+    sharded_gk_dvalues,
+    sharded_gk_recombine,
     sharded_gk_total,
     sharded_msm,
 )
@@ -120,6 +122,47 @@ def test_sharded_msm_matches_host():
     for pt, s in zip(host_pts, scalars):
         want = want.add(pt.mul(g.new_scalar(s)))
     assert tom_ops.unpack_points(np.asarray(out)[None])[0].eq(want)
+
+
+def test_sharded_gk_dvalues_matches_device():
+    """Ring-sharded d-values (config-5 axis) vs the single-device kernel,
+    on the 2D dp x ring mesh - must be bit-exact."""
+    from zkecdsa_tpu.protocol.batch_gk import gk_dvalues_device
+
+    mesh = make_mesh_2d(2, 4)
+    rs = np.random.RandomState(6)
+    N, n, RING = 2, 4, 16
+    eli = jnp.asarray(rs.randint(0, 2, (N, n)).astype(np.int32))
+    ai = jnp.asarray(
+        fo.pack([int(rs.randint(1, 1 << 50)) for _ in range(N * n)])
+    ).reshape(N, n, -1)
+    vals = jnp.asarray(fo.pack([int(rs.randint(1, 1 << 50)) for _ in range(RING)]))
+    vidx = jnp.asarray(fo.pack([int(rs.randint(1, 1 << 50)) for _ in range(N)]))
+    want = fo.unpack_canonical(gk_dvalues_device(eli, ai, vals, vidx))
+    got = fo.unpack_canonical(
+        sharded_gk_dvalues(mesh, eli, ai, vals, vidx, dp_axis="dp")
+    )
+    assert got == want
+
+
+def test_sharded_gk_recombine_matches_device():
+    from zkecdsa_tpu.protocol.batch_gk import gk_recombine_device
+
+    mesh = make_mesh_2d(2, 4)
+    rs = np.random.RandomState(7)
+    N, n, RING = 2, 3, 8
+    f = jnp.asarray(
+        fo.pack([int(rs.randint(1, 1 << 50)) for _ in range(N * n)])
+    ).reshape(N, n, -1)
+    xf = jnp.asarray(
+        fo.pack([int(rs.randint(1, 1 << 50)) for _ in range(N * n)])
+    ).reshape(N, n, -1)
+    vals = jnp.asarray(fo.pack([int(rs.randint(1, 1 << 50)) for _ in range(RING)]))
+    want = fo.unpack_canonical(gk_recombine_device(f, xf, vals))
+    got = fo.unpack_canonical(
+        sharded_gk_recombine(mesh, f, xf, vals, dp_axis="dp")
+    )
+    assert got == want
 
 
 @pytest.mark.slow

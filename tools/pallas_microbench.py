@@ -49,7 +49,7 @@ b = jnp.asarray(f.pack([int.from_bytes(rs.bytes(31), "big") for _ in range(B)]))
 
 xla_mul = jax.jit(f.mul)
 r_xla = bench("field/mul  XLA-fused", xla_mul, a, b)
-for blk in (256, 512, 1024):
+for blk in (128, 256):
     r_pal = bench(f"field/mul  pallas block={blk}", pallas_mul(f, block=blk), a, b)
 
 for gname, g, ops in (("p256", p256, p256_ops), ("tom", tomEdwards256, tom_ops)):
@@ -57,5 +57,5 @@ for gname, g, ops in (("p256", p256, p256_ops), ("tom", tomEdwards256, tom_ops))
     P = jnp.asarray(ops.pack_points((pts * ((B // 64) + 1))[:B]))
     Q = jnp.asarray(np.roll(np.asarray(P), 7, axis=0))
     bench(f"{gname}/ec_add  XLA-fused", ops.add, P, Q)
-    for blk in (128, 256, 512):
+    for blk in (64, 128):
         bench(f"{gname}/ec_add  pallas block={blk}", pallas_ec_add(ops, block=blk), P, Q)

@@ -61,6 +61,14 @@ def scalar_bits(scalars, width: int = 256) -> np.ndarray:
     return np.unpackbits(by, axis=1)
 
 
+def byte_digits(scalars, width: int = 32) -> np.ndarray:
+    """Base-256 digits, LEAST significant first: [N, width] int32 (the comb
+    fixed-base path's digit order, CurveOps.mul_comb)."""
+    buf = b"".join(int(s).to_bytes(width, "little") for s in scalars)
+    by = np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), width)
+    return by.astype(np.int32)
+
+
 class CurveOps:
     """Shared machinery; subclasses provide the group law."""
 
@@ -84,6 +92,9 @@ class CurveOps:
         self.double_mul_tables = jax.jit(self.double_mul_tables)
         self.double_mul = jax.jit(self.double_mul)
         self.sum_reduce = jax.jit(self.sum_reduce, static_argnames=("axis",))
+        self.comb_table = jax.jit(self.comb_table)
+        self.mul_comb = jax.jit(self.mul_comb)
+        self.double_mul_comb = jax.jit(self.double_mul_comb)
         self.msm = jax.jit(self.msm)
         self.msm_ladder = jax.jit(self.msm_ladder)
         self.msm_shared = jax.jit(self.msm_shared)
@@ -130,16 +141,19 @@ class CurveOps:
         """table [..., 16, C, L], digit [...] -> [..., C, L]; table batch
         dims broadcast against the digit batch.
 
-        Implemented as a select chain rather than a gather: a gather over a
-        broadcast table materializes the [batch, 16, C, L] operand (GBs for
-        a shared table against an [N, 80] digit batch - enough to take the
-        worker down), while 15 fused `where`s never expand the table axis."""
-        batch = jnp.broadcast_shapes(table.shape[:-3], digit.shape)
-        d = digit[..., None, None]
-        acc = jnp.broadcast_to(table[..., 0, :, :], batch + table.shape[-2:])
-        for k in range(1, TABLE):
-            acc = jnp.where(d == k, table[..., k, :, :], acc)
-        return acc
+        One-hot multiply-reduce: mask the window axis with ``digit == k``
+        and sum it away.  XLA fuses the broadcast-compare/select into the
+        reduction, so the [batch, 16, C, L] operand is never materialized
+        (a dynamic gather over a broadcast table would materialize it: GBs
+        for a shared table against an [N, 80] digit batch) and the table is
+        read ONCE - the previous 15-step select chain re-read the
+        accumulator 15 times, ~3 GB of extra traffic per gather at the
+        prover's [N=16, 80, 26] commit-stack shape.  Exact: one term per
+        sum is nonzero."""
+        oh = digit[..., None, None, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (TABLE, 1, 1), 0
+        )
+        return jnp.sum(jnp.where(oh, table, 0.0), axis=-3)
 
     def scalar_mul_table(self, tab: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
         """Windowed multiply from a precomputed table [..., 16, C, L] and
@@ -217,6 +231,85 @@ class CurveOps:
         """sum_i s_i * P_i: per-term windowed multiplies in parallel lanes,
         then one tree reduction.  points [N, C, L], digits [N, D]."""
         return self.sum_reduce(self.scalar_mul(points, digits), axis=0)
+
+    # -- comb fixed-base path ------------------------------------------------
+    #
+    # For a STATIC base (the Pedersen g/h, the group generator) the 4-bit
+    # window scan pays 256 doublings + 64 additions per scalar.  The comb
+    # method precomputes T[j][d] = d * 2^(8j) * B once per base, after
+    # which one multiply is 32 table gathers + 31 additions and ZERO
+    # doublings - ~6x fewer point ops, and the gathers are one-hot MXU
+    # dots.  This is what makes the prover's [N, 80, 26] Pedersen commit
+    # stack (the round-3 bench's 60% stage) affordable.
+
+    COMB_WBITS = 8
+    COMB_WINDOWS = 32  # 256-bit scalars
+
+    def comb_table(self, P: jnp.ndarray) -> jnp.ndarray:
+        """[32, 256, C, L] comb table T[j][d] = d * 2^(8j) * P, built ON
+        DEVICE from one packed point: 31x8 doublings for the window bases,
+        then multiples 0..255 by index-set doubling (m[d + k] = m[d] + m[k]
+        for k = 1, 2, 4, ..., 128: 8 batched add rounds)."""
+        w, D = self.COMB_WBITS, self.COMB_WINDOWS
+
+        def dbl_w(p, _):
+            for _ in range(w):
+                p = self.dbl(p)
+            return p, p
+
+        _, rest = jax.lax.scan(dbl_w, P, None, length=D - 1)
+        bases = jnp.concatenate([P[None], rest], axis=0)  # [D, C, L]
+        tab = jnp.stack([self.identity((D,)), bases], axis=1)  # [D, 2, C, L]
+        while tab.shape[1] < (1 << w):
+            k = tab.shape[1]
+            mk = self.dbl(tab[:, k // 2]) if k > 1 else bases  # m[k]
+            tab = jnp.concatenate(
+                [tab, self.add(tab, mk[:, None])], axis=1
+            )
+        return tab
+
+    def mul_comb(self, comb: jnp.ndarray, d8: jnp.ndarray) -> jnp.ndarray:
+        """Fixed-base multiply from a comb table: comb [D, 256, C, L]
+        (or a concatenation of several bases' tables for a multi-scalar
+        fixed-base sum), d8 [..., D] LSB-first byte digits -> [..., C, L].
+        One ``lax.scan`` over windows; each step is a one-hot MXU dot
+        (exact: one f32 product per output, digits < 128) + one addition."""
+        D = comb.shape[0]
+        C, L = comb.shape[-2], comb.shape[-1]
+        dcols = jnp.moveaxis(d8, -1, 0)  # [D, ...]
+        batch = d8.shape[:-1]
+        nb = 1 << self.COMB_WBITS
+        comb_flat = comb.reshape(D, nb, C * L)
+
+        def step(acc, xs):
+            dj, tabj = xs  # dj [...], tabj [256, C*L]
+            oh = (
+                dj[..., None]
+                == jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)[0]
+            ).astype(jnp.float32)
+            term = jnp.einsum(
+                "...k,km->...m", oh, tabj,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(batch + (C, L))
+            return self.add(acc, term), None
+
+        acc, _ = jax.lax.scan(step, self.identity(batch), (dcols, comb_flat))
+        return acc
+
+    def double_mul_comb(
+        self,
+        comb_p: jnp.ndarray,
+        dP8: jnp.ndarray,
+        comb_q: jnp.ndarray,
+        dQ8: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """dP*P + dQ*Q for two STATIC bases: one comb scan over the
+        concatenated window tables (the fixed-base analog of the Shamir
+        double-mult; reference src/curves/group.ts:97-132)."""
+        return self.mul_comb(
+            jnp.concatenate([comb_p, comb_q], axis=0),
+            jnp.concatenate([dP8, dQ8], axis=-1),
+        )
 
     def msm_ladder(self, points: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
         """Batched-row MSM without window tables: per-term MSB-first

@@ -208,8 +208,13 @@ class F32Field:
         assert max(b) < F32_EXACT
         f = jnp.floor(c * (1.0 / BASE))
         d = c - f * float(BASE)
-        d = jnp.concatenate([d, jnp.zeros_like(d[..., :1])], axis=-1)
-        out = d.at[..., 1:].add(f)
+        # widen by one digit and add the carries shifted up one position
+        # (concat+add, not scatter-add: Mosaic has no scatter lowering and
+        # XLA fuses the pad/add chain better than dynamic-update-slice-add)
+        z1 = jnp.zeros_like(d[..., :1])
+        out = jnp.concatenate([d, z1], axis=-1) + jnp.concatenate(
+            [z1, f], axis=-1
+        )
         nb = [min(b[0], BASE - 1)]
         for i in range(1, len(b)):
             nb.append(min(b[i], BASE - 1) + b[i - 1] // BASE)
@@ -482,6 +487,32 @@ class F32Field:
         hi_mult = jnp.asarray(np.exp2(BASE_BITS - s).astype(np.float32))
         v = jnp.floor(da * inv_shift) + db * hi_mult
         return v - jnp.floor(v * (1.0 / 16.0)) * 16.0
+
+    def digits8_canonical(self, x: jnp.ndarray, width: int = 32) -> jnp.ndarray:
+        """LSB-first 8-bit window digits of a CANONICAL digit array
+        (digits in [0, 128), value in [0, p)): [..., width] float32 in
+        [0, 256).  Feeds the comb fixed-base scalar multiplication
+        (``CurveOps.mul_comb``).  Byte i is bits 8i..8i+7; with 7-bit
+        storage digits a byte spans at most two digits (offset <= 6, so
+        6+8 <= 14), extracted with two one-hot selection matmuls - exact:
+        floor(da/2^s) + db*2^(7-s) equals floor((da + 128 db)/2^s) because
+        2^s divides 128."""
+        L = self.nlimbs
+        a_idx = np.array([(8 * k) // BASE_BITS for k in range(width)], np.int64)
+        s = np.array([(8 * k) % BASE_BITS for k in range(width)], np.float32)
+        assert a_idx[-1] + 1 < L, "scalar width exceeds digit layout"
+        rows = jax.lax.broadcasted_iota(jnp.int32, (L, width), 0)
+        sel_a = (rows == jnp.asarray(a_idx, jnp.int32)[None, :]).astype(
+            jnp.float32
+        )
+        sel_b = (rows == jnp.asarray(a_idx + 1, jnp.int32)[None, :]).astype(
+            jnp.float32
+        )
+        da = jnp.einsum("...l,lw->...w", x, sel_a, precision=_HIGHEST)
+        db = jnp.einsum("...l,lw->...w", x, sel_b, precision=_HIGHEST)
+        v = jnp.floor(da * jnp.asarray(np.exp2(-s).astype(np.float32)))
+        v = v + db * jnp.asarray(np.exp2(BASE_BITS - s).astype(np.float32))
+        return v - jnp.floor(v * (1.0 / 256.0)) * 256.0
 
 
 # ---- the moduli of the two-curve design (SURVEY section 1) ----

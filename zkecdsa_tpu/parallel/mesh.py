@@ -35,6 +35,8 @@ __all__ = [
     "replicate",
     "sharded_commit",
     "sharded_gk_total",
+    "sharded_gk_dvalues",
+    "sharded_gk_recombine",
     "sharded_msm",
 ]
 
@@ -135,6 +137,123 @@ def sharded_gk_total(
         return total
 
     return step(f_or_xf, vec)
+
+
+def _axis_spec(axis: str | None) -> P:
+    return P(axis) if axis else P()
+
+
+def sharded_gk_dvalues(
+    mesh: Mesh,
+    eli: jnp.ndarray,  # [N, n] int32 index bits (LSB first)
+    ai: jnp.ndarray,  # [N, n, L]
+    values: jnp.ndarray,  # [RING, L] padded ring (sharded over ``ring_axis``)
+    v_index: jnp.ndarray,  # [N, L] values[which] per instance
+    dp_axis: str | None = None,
+    ring_axis: str = "ring",
+) -> jnp.ndarray:
+    """GK prover d-polynomial values [N, n, L] with RING ELEMENTS SHARDED
+    (BASELINE config 5: ring 2^16 across hosts; the scaling axis of SURVEY
+    section 5).  Each shard evaluates, per evaluation point w, the masked
+    per-element product prod_j (bit_j(i) ? f1_j : f0_j) for ITS ring slice
+    only (n multiplies per element instead of the single-device doubling
+    table - the table would materialize [N, RING, L] on one chip), then
+    partial sums meet in one all_gather fold per w.  Optionally dp-sharded
+    over instances at the same time (2D mesh).  Bit-exact vs
+    ``protocol.batch_gk.gk_dvalues_device`` (tests/test_mesh.py).
+    Replaces the reference's sequential ring walk, gk.ts:135-171."""
+    from ..ops.f32field import TOM_N
+
+    fo = TOM_N
+    n = eli.shape[1]
+    dspec = _axis_spec(dp_axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(dspec, dspec, P(ring_axis), dspec),
+        out_specs=dspec,
+    )
+    def step(eli_s, ai_s, vals_s, vidx_s):
+        localR = vals_s.shape[0]
+        gi = jax.lax.axis_index(ring_axis) * localR + jnp.arange(localR)
+        elib = eli_s[..., None] > 0  # [Nl, n, 1]
+        diffs = fo.sub(vidx_s[:, None, :], vals_s[None, :, :])  # [Nl, lR, L]
+        outs = []
+        for w in range(n):
+            w_m = fo.const(w)
+            f0 = jnp.where(elib, fo.neg(ai_s), fo.sub(w_m, ai_s))  # [Nl,n,L]
+            f1 = jnp.where(elib, fo.add(w_m, ai_s), ai_s)
+            pix = None
+            for j in range(n):
+                bit = ((gi >> j) & 1) > 0  # [lR]
+                fac = jnp.where(
+                    bit[None, :, None],
+                    f1[:, j][:, None, :],
+                    f0[:, j][:, None, :],
+                )  # [Nl, lR, L]
+                pix = fac if pix is None else fo.mul(pix, fac)
+            terms = fo.mul(diffs, pix)
+            while terms.shape[1] > 1:  # local tree sum over the ring slice
+                half = terms.shape[1] // 2
+                terms = fo.add(terms[:, :half], terms[:, half:])
+            gathered = jax.lax.all_gather(terms[:, 0], ring_axis)  # [nd,Nl,L]
+            tot = gathered[0]
+            for k in range(1, gathered.shape[0]):
+                tot = fo.add(tot, gathered[k])
+            outs.append(tot)
+        return fo.canon(jnp.stack(outs, axis=1))
+
+    return step(eli, ai, values, v_index)
+
+
+def sharded_gk_recombine(
+    mesh: Mesh,
+    f: jnp.ndarray,  # [N, n, L] response scalars
+    xf: jnp.ndarray,  # [N, n, L] x - f
+    values: jnp.ndarray,  # [RING, L] (sharded over ``ring_axis``)
+    dp_axis: str | None = None,
+    ring_axis: str = "ring",
+) -> jnp.ndarray:
+    """GK verifier ring recombination [N, L] with ring elements sharded
+    (the O(RING * n) loop of gk.ts:239-250): per shard, masked products
+    prod_j (bit_j(i) ? f_j : x-f_j) times v_i, local tree sum, one
+    all_gather fold.  Bit-exact vs ``gk_recombine_device``."""
+    from ..ops.f32field import TOM_N
+
+    fo = TOM_N
+    n = f.shape[1]
+    dspec = _axis_spec(dp_axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(dspec, dspec, P(ring_axis)),
+        out_specs=dspec,
+    )
+    def step(f_s, xf_s, vals_s):
+        localR = vals_s.shape[0]
+        gi = jax.lax.axis_index(ring_axis) * localR + jnp.arange(localR)
+        pix = None
+        for j in range(n):
+            bit = ((gi >> j) & 1) > 0
+            fac = jnp.where(
+                bit[None, :, None], f_s[:, j][:, None, :], xf_s[:, j][:, None, :]
+            )
+            pix = fac if pix is None else fo.mul(pix, fac)
+        terms = fo.mul(vals_s[None], pix)
+        while terms.shape[1] > 1:
+            half = terms.shape[1] // 2
+            terms = fo.add(terms[:, :half], terms[:, half:])
+        gathered = jax.lax.all_gather(terms[:, 0], ring_axis)
+        tot = gathered[0]
+        for k in range(1, gathered.shape[0]):
+            tot = fo.add(tot, gathered[k])
+        return fo.canon(tot)
+
+    return step(f, xf, values)
 
 
 def sharded_msm(mesh: Mesh, ops, points: jnp.ndarray, digits: jnp.ndarray):

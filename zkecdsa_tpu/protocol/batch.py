@@ -69,6 +69,18 @@ def _digits_dev(ctx, x: jnp.ndarray) -> jnp.ndarray:
     return ctx.digits4(x)
 
 
+def _bytes_host(ctx, x: jnp.ndarray) -> jnp.ndarray:
+    """Comb-path byte digits of a CANONICAL digit array (host-packed, or a
+    ``canon``/affine-pass output).  Same invariant contract as
+    :func:`_digits_host`."""
+    return ctx.digits8_canonical(x)
+
+
+def _bytes_dev(ctx, x: jnp.ndarray) -> jnp.ndarray:
+    """Comb-path byte digits of redundant device digits: canon first."""
+    return ctx.digits8_canonical(ctx.canon(x))
+
+
 def _std(ctx, x_mont: jnp.ndarray) -> jnp.ndarray:
     return ctx.from_mont(x_mont)
 
@@ -81,14 +93,26 @@ class DeviceParams:
 
     def __init__(self, params: SystemParametersList) -> None:
         self.params = params
-        # Tables are built with HOST EC arithmetic (16 tiny muls each, once
-        # per parameter set) and handed to the jitted phase programs as
-        # OPERANDS (see the ``tabs`` pytree) - never closed over, so the
-        # compiled programs are parameter-set-independent.
+        # Window tables are built with HOST EC arithmetic (16 tiny muls
+        # each, once per parameter set) and handed to the jitted phase
+        # programs as OPERANDS (see the ``tabs`` pytree) - never closed
+        # over, so the compiled programs are parameter-set-independent.
         self.tab_g_tom = self._host_table(tom_ops, params.proof_group.g)
         self.tab_h_tom = self._host_table(tom_ops, params.proof_group.h)
         self.tab_G = self._host_table(p256_ops, p256.generator())
         self.tab_h_nist = self._host_table(p256_ops, params.nist_group.h)
+        # Comb tables for the static Pedersen bases (built ON DEVICE from
+        # one packed point; ~5 MB each): the commit stacks then run with
+        # zero doublings - see CurveOps.comb_table.
+        self.comb_g_tom = np.asarray(
+            tom_ops.comb_table(jnp.asarray(self.tab_g_tom[1]))
+        )
+        self.comb_h_tom = np.asarray(
+            tom_ops.comb_table(jnp.asarray(self.tab_h_tom[1]))
+        )
+        self.comb_h_nist = np.asarray(
+            p256_ops.comb_table(jnp.asarray(self.tab_h_nist[1]))
+        )
 
     def tabs(self) -> dict:
         """The table pytree passed to the phase programs."""
@@ -97,6 +121,9 @@ class DeviceParams:
             "h_n": jnp.asarray(self.tab_h_nist),
             "g_t": jnp.asarray(self.tab_g_tom),
             "h_t": jnp.asarray(self.tab_h_tom),
+            "g_t8": jnp.asarray(self.comb_g_tom),
+            "h_t8": jnp.asarray(self.comb_h_tom),
+            "h_n8": jnp.asarray(self.comb_h_nist),
         }
 
     @staticmethod
@@ -114,17 +141,18 @@ class DeviceParams:
         self, v_std: jnp.ndarray, r_std: jnp.ndarray, *,
         v_canon: bool, r_canon: bool = True,
     ) -> jnp.ndarray:
-        """Pedersen commit on Tom-256.  ``v_canon``/``r_canon`` declare the
-        digit invariant of each operand: True = canonical digits (host-
-        packed, or device ``canon`` output - fast window extraction),
-        False = redundant device digits (canonicalized first).  ``v_canon``
-        is keyword-required so every call site states which it has - the
+        """Pedersen commit on Tom-256 via the fixed-base comb path (the
+        bases are static).  ``v_canon``/``r_canon`` declare the digit
+        invariant of each operand: True = canonical digits (host-packed,
+        or device ``canon`` output - fast window extraction), False =
+        redundant device digits (canonicalized first).  ``v_canon`` is
+        keyword-required so every call site states which it has - the
         round-2 regression was a redundant value silently taking the
         canonical fast path."""
-        dv = (_digits_host if v_canon else _digits_dev)(TOM_N, v_std)
-        dr = (_digits_host if r_canon else _digits_dev)(TOM_N, r_std)
-        return tom_ops.double_mul_tables(
-            self.tab_g_tom, dv, self.tab_h_tom, dr
+        dv = (_bytes_host if v_canon else _bytes_dev)(TOM_N, v_std)
+        dr = (_bytes_host if r_canon else _bytes_dev)(TOM_N, r_std)
+        return tom_ops.double_mul_comb(
+            jnp.asarray(self.comb_g_tom), dv, jnp.asarray(self.comb_h_tom), dr
         )
 
 
@@ -203,20 +231,12 @@ def phase_a(tabs, pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
     )
     cq = p256_ops.double_mul_tables(tp, dP, tabs["h_n"], dQ)
     comS1, Q = cq[:, 0], cq[:, 1]
-    # 80 rounds: T_i = alpha_i * R ; Hr_i = r_i * h  (exp.ts:144-150)
-    # as ONE windowed mul [N, 2, 80] (table axis broadcasts per group)
-    tabs_th = jnp.stack(
-        [
-            tab_R[:, None],
-            jnp.broadcast_to(tabs["h_n"], (N, 1) + tab_R.shape[1:]),
-        ],
-        axis=1,
-    )  # [N, 2, 1, 16, 3, L]
-    d_th = jnp.stack(
-        [_digits_host(fn, alpha), _digits_host(fn, r_rnd)], axis=1
-    )  # [N, 2, 80, 64]
-    th = p256_ops.scalar_mul_table(tabs_th, d_th)  # [N, 2, 80, 3, L]
-    T, Hr = th[:, 0], th[:, 1]
+    # 80 rounds: T_i = alpha_i * R (dynamic base: windowed scan) and
+    # Hr_i = r_i * h (STATIC base: comb path, zero doublings - exp.ts:144-150)
+    T = p256_ops.scalar_mul_table(
+        tab_R[:, None], _digits_host(fn, alpha)
+    )  # [N, 80, 3, L]
+    Hr = p256_ops.mul_comb(tabs["h_n8"], _bytes_host(fn, r_rnd))
     A = p256_ops.add(T, Hr)
     # ONE P-256 affine pass: rows [R, Q, comS1] ++ T(80) ++ A(80)
     nist_stack = jnp.concatenate(
@@ -236,7 +256,7 @@ def phase_a(tabs, pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
     # correctness regression - tests/test_pipeline_gate.py guards it).
     pk_vals = jnp.stack([pkx_v, pky_v], axis=1)  # [N, 2, L]
     tc_vals = jnp.stack([Tx_v, Ty_v], axis=2).reshape(N, 2 * SECPARAM, L)
-    dv = _digits_host(fo, jnp.concatenate([pk_vals, tc_vals], axis=1))
+    dv8 = _bytes_host(fo, jnp.concatenate([pk_vals, tc_vals], axis=1))
     blinds = jnp.concatenate(
         [
             jnp.stack([pkx_r, pky_r], axis=1),
@@ -244,8 +264,8 @@ def phase_a(tabs, pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
         ],
         axis=1,
     )
-    allC = tom_ops.double_mul_tables(
-        tabs["g_t"], dv, tabs["h_t"], _digits_host(fo, blinds)
+    allC = tom_ops.double_mul_comb(
+        tabs["g_t8"], dv8, tabs["h_t8"], _bytes_host(fo, blinds)
     )  # [N, 162, 4, L]
     pkC = allC[:, :2]
     TC = allC[:, 2:].reshape(N, SECPARAM, 2, 4, L)
@@ -295,9 +315,9 @@ def phase_b(tabs, tab_R, Q, TxC, pkX, pkY, Tx_v, pkx_v, pky_v,
     # remaining slots are host-packed - the whole stack is canonical
     fills = [t1x, t1y, ints_std[1], ints_std[3], ints_std[4], ints_std[6]]
     com_vals = com_vals.at[..., :6, :].set(jnp.stack(fills, axis=-2))
-    commits = tom_ops.double_mul_tables(
-        tabs["g_t"], _digits_host(fo, com_vals),
-        tabs["h_t"], _digits_host(fo, com_blinds),
+    commits = tom_ops.double_mul_comb(
+        tabs["g_t8"], _bytes_host(fo, com_vals),
+        tabs["h_t8"], _bytes_host(fo, com_blinds),
     )  # [N, 80, K, 4, L]
     T1xC = commits[..., 0, :, :]
     T1yC = commits[..., 1, :, :]

@@ -51,6 +51,18 @@ def _ring_len(n_values: int) -> tuple[int, int]:
     return pad_len, n
 
 
+def _ring_sharded(mesh, RING: int) -> bool:
+    """Use the ring-sharded collective kernels when the mesh has a ``ring``
+    axis the padded ring divides across (config 5 of BASELINE.md)."""
+    return (
+        mesh is not None
+        and "ring" in getattr(mesh, "shape", {})
+        and mesh.shape["ring"] > 1
+        and RING % mesh.shape["ring"] == 0
+        and RING // mesh.shape["ring"] >= 1
+    )
+
+
 @jax.jit
 def gk_dvalues_device(
     eli: jnp.ndarray,  # [N, n] int32 index bits (LSB first)
@@ -147,19 +159,30 @@ def batch_prove_membership(
 
     # device d-values
     if n > 0:
-        from ..parallel.mesh import replicate, shard_batch
+        from ..parallel.mesh import (
+            replicate,
+            shard_batch,
+            sharded_gk_dvalues,
+        )
 
-        vals_dev = replicate(mesh, jnp.asarray(fo.pack([v.k for v in values_s])))
-        vidx_dev = shard_batch(
-            mesh,
-            jnp.asarray(fo.pack([values_s[indices[i]].k for i in range(N)])),
-        )
-        ai_dev = shard_batch(
-            mesh,
-            jnp.asarray(fo.pack([a for row in ai for a in row])).reshape(N, n, -1),
-        )
-        eli_dev = shard_batch(mesh, jnp.asarray(np.array(eli, dtype=np.int32)))
-        dv = gk_dvalues_device(eli_dev, ai_dev, vals_dev, vidx_dev)
+        vals_np = jnp.asarray(fo.pack([v.k for v in values_s]))
+        vidx_np = jnp.asarray(fo.pack([values_s[indices[i]].k for i in range(N)]))
+        ai_np = jnp.asarray(fo.pack([a for row in ai for a in row])).reshape(N, n, -1)
+        eli_np = jnp.asarray(np.array(eli, dtype=np.int32))
+        if _ring_sharded(mesh, RING):
+            # config-5 shape: ring elements sharded over the ``ring`` axis
+            # (optionally x dp over instances on a 2D mesh)
+            dp_ax = "dp" if "dp" in mesh.shape and N % mesh.shape["dp"] == 0 else None
+            dv = sharded_gk_dvalues(
+                mesh, eli_np, ai_np, vals_np, vidx_np, dp_axis=dp_ax
+            )
+        else:
+            dv = gk_dvalues_device(
+                shard_batch(mesh, eli_np),
+                shard_batch(mesh, ai_np),
+                replicate(mesh, vals_np),
+                shard_batch(mesh, vidx_np),
+            )
         dv_ints = fo.unpack_canonical(dv)  # [N*n]
     else:
         dv_ints = []

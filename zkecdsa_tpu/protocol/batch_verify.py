@@ -46,6 +46,7 @@ from ..ops.f32field import TOM_N
 from ..proofGK.gk import _pad
 from ..zkp_attest_list import SignatureProofList, SystemParametersList, _truncate_to_n
 from .batch import (
+    _bytes_host,
     _digits_host,
     _nist_pt,
     _pk_scalars,
@@ -53,7 +54,12 @@ from .batch import (
     _unp,
     device_params_for,
 )
-from .batch_gk import _ring_len, aggregate_membership, gk_recombine_device
+from .batch_gk import (
+    _ring_len,
+    _ring_sharded,
+    aggregate_membership,
+    gk_recombine_device,
+)
 
 __all__ = ["BatchVerifier", "batch_verify_signature_list"]
 
@@ -107,9 +113,9 @@ def vphase(tabs, R, z1d, md, bits, rb):
     # regression (the prover's TC commit was the other half).
     x, y = fw.canon(x), fw.canon(y)
     sx, sy = x[..., 1, :], y[..., 1, :]
-    com = tom_ops.double_mul_tables(
-        tabs["g_t"], _digits_host(TOM_N, jnp.stack([sx, sy], axis=-2)),
-        tabs["h_t"], _digits_host(TOM_N, rb),
+    com = tom_ops.double_mul_comb(
+        tabs["g_t8"], _bytes_host(TOM_N, jnp.stack([sx, sy], axis=-2)),
+        tabs["h_t8"], _bytes_host(TOM_N, rb),
     )  # [N,S,2,4,L]
     cx, cy, _ = tom_ops.to_affine(com)
     cx, cy = ft.canon(cx), ft.canon(cy)
@@ -318,20 +324,31 @@ class BatchVerifier:
                 [(gk_x[i] - f_ints[i][j]) % t_ord for j in range(n)]
                 for i in range(N)
             ]
-            vals_dev = replicate(mesh, jnp.asarray(fo.pack([v_.k for v_ in values_s])))
-            f_dev = shard_batch(
-                mesh,
-                jnp.asarray(fo.pack([x for row in f_ints for x in row])).reshape(
-                    N, n, -1
-                ),
-            )
-            xf_dev = shard_batch(
-                mesh,
-                jnp.asarray(fo.pack([x for row in xf_ints for x in row])).reshape(
-                    N, n, -1
-                ),
-            )
-            totals = fo.unpack_canonical(gk_recombine_device(f_dev, xf_dev, vals_dev))
+            vals_np = jnp.asarray(fo.pack([v_.k for v_ in values_s]))
+            f_np = jnp.asarray(
+                fo.pack([x for row in f_ints for x in row])
+            ).reshape(N, n, -1)
+            xf_np = jnp.asarray(
+                fo.pack([x for row in xf_ints for x in row])
+            ).reshape(N, n, -1)
+            if _ring_sharded(mesh, RING) and n > 0:
+                from ..parallel.mesh import sharded_gk_recombine
+
+                dp_ax = (
+                    "dp"
+                    if "dp" in mesh.shape and N % mesh.shape["dp"] == 0
+                    else None
+                )
+                tot_dev = sharded_gk_recombine(
+                    mesh, f_np, xf_np, vals_np, dp_axis=dp_ax
+                )
+            else:
+                tot_dev = gk_recombine_device(
+                    shard_batch(mesh, f_np),
+                    shard_batch(mesh, xf_np),
+                    replicate(mesh, vals_np),
+                )
+            totals = fo.unpack_canonical(tot_dev)
 
         # ---- host: relation assembly per proof ----
         with stage("verify.assemble"):

@@ -25,8 +25,17 @@ __all__ = ["trace", "StageTimer", "kernel_ns_per_op"]
 
 
 @contextlib.contextmanager
-def trace(logdir: str):
-    """Capture a device trace viewable in XProf/Perfetto."""
+def trace(logdir: str | None = None):
+    """Capture a device trace viewable in XProf/Perfetto.  ``logdir``
+    defaults to ``Config.profile_dir`` (ZKECDSA_PROFILE_DIR)."""
+    if logdir is None:
+        from .config import get_config
+
+        logdir = get_config().profile_dir
+    if logdir is None:
+        raise ValueError(
+            "no trace directory: pass logdir or set ZKECDSA_PROFILE_DIR"
+        )
     jax.profiler.start_trace(logdir)
     try:
         yield

@@ -93,9 +93,15 @@ def _truncate_to_n(msg: int, n: int) -> int:
     return msg >> delta if delta > 0 else msg
 
 
-def generate_params_list(sec_level: int = 80) -> SystemParametersList:
+def generate_params_list(sec_level: int | None = None) -> SystemParametersList:
     """(zkpAttestList.ts:88-92).  Params are random (h = r*g), so prover and
-    verifier must share them via serde."""
+    verifier must share them via serde.  ``sec_level`` defaults to
+    ``Config.sec_level`` (80, the reference's only knob; override via
+    ZKECDSA_SEC_LEVEL)."""
+    if sec_level is None:
+        from .utils.config import get_config
+
+        sec_level = get_config().sec_level
     return SystemParametersList(
         generate_pedersen_params(p256),
         generate_pedersen_params(tomEdwards256),
