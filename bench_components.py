@@ -102,16 +102,24 @@ def main() -> None:
         host_mul_ns[g.name] = dt * 1e9
         row(f"{g.name}/ec/mul (host scalar)", dt * 1e9)
 
-    # ---- MSM backends (multimult.ts:61-145 replacement) ----
+    # ---- MSM backends (multimult.ts:61-145 replacement): Straus
+    # shared-window vs Pippenger buckets (VERDICT r2 item 7) ----
     g = tomEdwards256
     G = g.generator()
-    for T in (64, 512):
+    for T in (64, 512, 4096):
         pts = [G.mul(g.new_scalar(k + 2)) for k in range(T)]
         scs = [int.from_bytes(rs.bytes(32), "big") for _ in range(T)]
         P = jnp.asarray(tom_ops.pack_points(pts))
-        D = jnp.asarray(nibble_digits(scs))
-        _, dt = timeit(lambda: jax.block_until_ready(tom_ops.msm_shared(P, D)), 3)
-        row(f"msm_shared T={T}", dt * 1e9 / T, f"({dt*1e3:.1f} ms/msm)")
+        if T <= 512:  # the Straus window table is [T,16,C,L] HBM
+            D = jnp.asarray(nibble_digits(scs))
+            _, dt = timeit(
+                lambda: jax.block_until_ready(tom_ops.msm_shared(P, D)), 3
+            )
+            row(f"msm_shared T={T}", dt * 1e9 / T, f"({dt*1e3:.1f} ms/msm)")
+        _, dt = timeit(
+            lambda: jax.block_until_ready(tom_ops.msm_pippenger(P, scs)), 3
+        )
+        row(f"msm_pippenger T={T}", dt * 1e9 / T, f"({dt*1e3:.1f} ms/msm)")
 
     # ---- Pedersen commit (pedersen.bench.ts:26-28) ----
     with rng.deterministic(3):

@@ -40,9 +40,11 @@ def deterministic_rng():
 def pytest_configure(config):
     # Persistent XLA compilation cache: the limb/curve kernels are large
     # graphs; caching makes repeated test runs cheap.  The suite gets its
-    # OWN directory: sharing one cache with a concurrently-running chip
-    # process (bench.py / tools) produced segfaults in the cache
-    # reader/writer (zstd on a partially-written entry).
+    # OWN directory, and that directory must have a SINGLE process using
+    # it at a time: the cache's zstd entries are not written atomically,
+    # and any two concurrent JAX processes sharing a dir (two pytest runs,
+    # or pytest + bench.py on .jax_cache) eventually segfault one of them
+    # in the cache reader or writer.  Run the suite solo.
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

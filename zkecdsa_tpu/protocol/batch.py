@@ -626,13 +626,21 @@ class BatchProver:
             b = jax.block_until_ready(b)
 
         with stage("phase_b.unpack"):
-            ints = [_unp(fo, v) for v in b["ints"]]  # 7 x [N*80]
-            tom_x = _unp(tom_ops.f, b["tom_aff"][0])  # [N*80*34]
-            tom_y = _unp(tom_ops.f, b["tom_aff"][1])
+            # Only even-challenge rounds carry a point-add sub-proof; the
+            # device computes all 80 (static shapes) but the host unpacks
+            # only the ~half that reach a proof object.
+            emask = np.asarray(even_mask)  # [N, 80]
+            pos = np.full((N, SECPARAM), -1, np.int64)
+            pos[emask] = np.arange(int(emask.sum()))
+            ints = [
+                _unp(fo, np.asarray(v)[emask]) for v in b["ints"]
+            ]  # 7 x [K]
+            tom_x = _unp(tom_ops.f, np.asarray(b["tom_aff"][0])[emask])
+            tom_y = _unp(tom_ops.f, np.asarray(b["tom_aff"][1])[emask])
         NSLOT = BK + 8
 
         def tom_pt_at(i, j, slot):
-            k = (i * SECPARAM + j) * NSLOT + slot
+            k = pos[i, j] * NSLOT + slot
             return _tom_pt(tom_x[k], tom_y[k])
 
         tsc = tomEdwards256.new_scalar
@@ -649,6 +657,7 @@ class BatchProver:
                 keys,
                 [t.source for t in tapes],
                 mesh=mesh,
+                dev=self.dev,
             )
 
         # ---- assemble exp proofs per instance/round ----
@@ -658,7 +667,7 @@ class BatchProver:
         for i in range(N):
             exp_proofs = []
             for j in range(SECPARAM):
-                k = i * SECPARAM + j
+                k = pos[i, j]  # even-round row in the masked unpack arrays
                 A_p = A_pts[i][j]
                 Tx_p = TxC_pts[i][j]
                 Ty_p = TyC_pts[i][j]

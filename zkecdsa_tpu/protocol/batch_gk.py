@@ -100,6 +100,18 @@ def gk_dvalues_device(
 
 
 @jax.jit
+def _gk_commit_device(comb_g, comb_h, v, r):
+    """Batched Pedersen commits g*v + h*r on the comb fixed-base path,
+    returned as canonical affine coordinates (for exact host unpacking).
+    Replaces per-instance host double-mults (gk.ts:88-92)."""
+    C = tom_ops.double_mul_comb(
+        comb_g, fo.digits8_canonical(v), comb_h, fo.digits8_canonical(r)
+    )
+    x, y, _ = tom_ops.to_affine(C)
+    return tom_ops.f.canon(x), tom_ops.f.canon(y)
+
+
+@jax.jit
 def gk_recombine_device(
     f: jnp.ndarray,  # [N, n, L] mont (response scalars)
     xf: jnp.ndarray,  # [N, n, L] mont (x - f)
@@ -130,11 +142,14 @@ def batch_prove_membership(
     initial_values: list[int],
     tapes: Sequence[rng.RandomSource],
     mesh=None,
+    dev=None,
 ) -> list[GKProof]:
     """Batched prover, bit-identical to gk.prove_membership per tape.
     With a ``mesh``, the instance batch is dp-sharded and the ring value
     vector replicated (the d-value evaluation is embarrassingly parallel
-    over instances)."""
+    over instances).  With ``dev`` (a ``protocol.batch.DeviceParams``),
+    the 4n Pedersen commitments per instance run as ONE device comb-commit
+    batch instead of 4n host double-mults each."""
     c = params.c
     order = c.order
     N = len(coms)
@@ -187,17 +202,58 @@ def batch_prove_membership(
     else:
         dv_ints = []
 
-    # interpolate + commitments + responses (host; small)
-    proofs = []
+    # interpolate (host; n x n per instance, tiny)
     omegas = list(range(n))
-    for i in range(N):
-        di = interpolate(omegas, dv_ints[i * n : (i + 1) * n], order)
-        from ..proofGK.gk import _commit
+    di_all = [
+        interpolate(omegas, dv_ints[i * n : (i + 1) * n], order)
+        for i in range(N)
+    ]
 
-        cl = [_commit(params, eli[i][j], ri[i][j]) for j in range(n)]
-        ca = [_commit(params, ai[i][j], si[i][j]) for j in range(n)]
-        cb = [_commit(params, eli[i][j] * ai[i][j], ti[i][j]) for j in range(n)]
-        cd = [_commit(params, di[j], rho[i][j]) for j in range(n)]
+    # the 4n commitments per instance: one batched device comb-commit when
+    # DeviceParams are available, host double-mults otherwise
+    commit_pts: list[list] = [[] for _ in range(N)]
+    if dev is not None and n > 0:
+        vals: list[int] = []
+        blinds: list[int] = []
+        for i in range(N):
+            vals += eli[i]
+            vals += ai[i]
+            vals += [eli[i][j] * ai[i][j] % order for j in range(n)]
+            vals += list(di_all[i])
+            blinds += ri[i] + si[i] + ti[i] + rho[i]
+        cx, cy = _gk_commit_device(
+            jnp.asarray(dev.comb_g_tom),
+            jnp.asarray(dev.comb_h_tom),
+            jnp.asarray(fo.pack([v % order for v in vals])),
+            jnp.asarray(fo.pack(blinds)),
+        )
+        xs = tom_ops.f.unpack_canonical(cx)
+        ys = tom_ops.f.unpack_canonical(cy)
+        for i in range(N):
+            base = i * 4 * n
+            commit_pts[i] = [
+                TEdwardsPoint(tomEdwards256, xs[base + t], ys[base + t])
+                for t in range(4 * n)
+            ]
+
+    # responses + proof assembly (host; small)
+    proofs = []
+    for i in range(N):
+        di = di_all[i]
+        if dev is not None and n > 0:
+            row = commit_pts[i]
+            cl, ca = row[:n], row[n : 2 * n]
+            cb, cd = row[2 * n : 3 * n], row[3 * n : 4 * n]
+        else:
+            from ..proofGK.gk import _commit
+
+            cl = [_commit(params, eli[i][j], ri[i][j]) for j in range(n)]
+            ca = [_commit(params, ai[i][j], si[i][j]) for j in range(n)]
+            cb = [
+                _commit(params, eli[i][j] * ai[i][j], ti[i][j])
+                for j in range(n)
+            ]
+            cd = [_commit(params, di[j], rho[i][j]) for j in range(n)]
         x = hash_points(cl + ca + cb + cd)
         f = [c.new_scalar((eli[i][j] * x + ai[i][j]) % order) for j in range(n)]
         za = [c.new_scalar((ri[i][j] * x + si[i][j]) % order) for j in range(n)]

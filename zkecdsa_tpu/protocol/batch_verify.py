@@ -290,14 +290,26 @@ class BatchVerifier:
             v = self.vphase(self.tabs, R_dev, z1d, md, bitmask, rb_arr)
 
         with stage("verify.unpack"):
+            # bit-dependent masking: the sampled round's affine coords feed
+            # relTx/relTy only on challenge-bit-1 rounds, the T1x/T1y
+            # commitments only bit-0 rounds - unpack each only where used
+            bmask = np.asarray(sel_bit)  # [N, S]
+            pos1 = np.full((N, S), -1, np.int64)
+            pos1[bmask] = np.arange(int(bmask.sum()))
+            pos0 = np.full((N, S), -1, np.int64)
+            pos0[~bmask] = np.arange(int((~bmask).sum()))
             t0x = _unp(p256_ops.f, v["T0_aff"][0])  # [N*S]
             t0y = _unp(p256_ops.f, v["T0_aff"][1])
             t0inf = np.asarray(v["T0_aff"][2]).reshape(N, S)
-            sxs = _unp(fo, v["coord"][0])  # base-field ints == Tom-order ints
-            sys_ = _unp(fo, v["coord"][1])
+            sxs = _unp(fo, np.asarray(v["coord"][0]).reshape(N, S, -1)[bmask])
+            sys_ = _unp(fo, np.asarray(v["coord"][1]).reshape(N, S, -1)[bmask])
             cinf = np.asarray(v["coord"][2]).reshape(N, S)
-            comx = _unp(tom_ops.f, v["com_aff"][0])  # [N*S*2]
-            comy = _unp(tom_ops.f, v["com_aff"][1])
+            comx = _unp(
+                tom_ops.f, np.asarray(v["com_aff"][0]).reshape(N, S, 2, -1)[~bmask]
+            )
+            comy = _unp(
+                tom_ops.f, np.asarray(v["com_aff"][1]).reshape(N, S, 2, -1)[~bmask]
+            )
 
         # ---- GK: device ring recombination for all proofs ----
         with stage("verify.gk_recombine"):
@@ -374,6 +386,7 @@ class BatchVerifier:
                     proof, i, multiW, multiN,
                     sel_idx[i], sel_bit[i],
                     t0x, t0y, t0inf, sxs, sys_, cinf, comx, comy,
+                    pos0, pos1,
                 ):
                     ok[i] = False
                     rows_w.append(([], []))
@@ -391,6 +404,7 @@ class BatchVerifier:
     def _aggregate_exp(
         self, proof, i, multiW, multiN,
         idxs, bits, t0x, t0y, t0inf, sxs, sys_, cinf, comx, comy,
+        pos0, pos1,
     ) -> bool:
         """Exp relations for the sampled rounds, using the device-computed
         points (exp.ts:263-346 algebra, host scalar arithmetic)."""
@@ -409,9 +423,10 @@ class BatchVerifier:
             rp = pi[idxs[j]]
             if cinf[i, j]:
                 return False  # T (or T1) at infinity
-            sx = pg.c.new_scalar(sxs[k])
-            sy = pg.c.new_scalar(sys_[k])
             if bits[j]:
+                k1 = pos1[i, j]  # bit-1 row in the masked coord arrays
+                sx = pg.c.new_scalar(sxs[k1])
+                sy = pg.c.new_scalar(sys_[k1])
                 T = _nist_pt(t0x[k], t0y[k]) if not t0inf[i, j] else p256.identity()
                 relA = Relation(p256)
                 relA.insert_m(
@@ -440,8 +455,9 @@ class BatchVerifier:
                     [one_n, one_n, one_n, rp.z2],
                 )
                 relA.drain(multiN)
-                T1x = _tom_pt(comx[k * 2], comy[k * 2])
-                T1y = _tom_pt(comx[k * 2 + 1], comy[k * 2 + 1])
+                k0 = pos0[i, j]  # bit-0 row in the masked commit arrays
+                T1x = _tom_pt(comx[k0 * 2], comy[k0 * 2])
+                T1y = _tom_pt(comx[k0 * 2 + 1], comy[k0 * 2 + 1])
                 if not aggregate_point_add(
                     pg, T1x, T1y, proof.keyXcom, proof.keyYcom,
                     rp.Tx, rp.Ty, rp.proof, multiW,
