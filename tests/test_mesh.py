@@ -166,10 +166,14 @@ def test_sharded_gk_recombine_matches_device():
 
 
 @pytest.mark.slow
-def test_sharded_pipeline_bit_exact(params):
+def test_sharded_pipeline_bit_exact(params, no_compilation_cache):
     """The REAL pipeline dp-sharded over 2 devices: proofs must be
     byte-identical to the unsharded batched prover under the same tapes,
-    and the sharded verifier must accept them (and reject a tamper)."""
+    and the sharded verifier must accept them (and reject a tamper).
+
+    Runs with the persistent compilation cache OFF: caching this test's
+    dp-sharded MSM executable segfaults JAX's zstd cache writer (see
+    conftest.no_compilation_cache)."""
     mesh = make_mesh(2)
     with rng.deterministic(99):
         ring = []

@@ -56,9 +56,9 @@ def make_mesh_2d(dp: int, ring: int) -> Mesh:
 def shard_batch(mesh: Mesh | None, x: jnp.ndarray, axis: str = "dp"):
     """Place ``x`` with its leading (batch) dimension sharded over ``axis``
     and all other dims replicated.  No-op when ``mesh`` is None, so pipeline
-    code can shard unconditionally.  The batch dim must divide evenly: the
-    proof batch is padded by the caller (BatchProver/BatchVerifier pad with
-    repeated instances), never silently here."""
+    code can shard unconditionally.  The batch dim must divide evenly by the
+    axis size - callers (BatchProver/BatchVerifier) require dp-divisible
+    batches and raise otherwise; nothing is padded silently here."""
     if mesh is None:
         return x
     n = mesh.shape[axis]

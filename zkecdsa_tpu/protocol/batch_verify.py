@@ -200,6 +200,12 @@ class BatchVerifier:
     def __init__(self, params: SystemParametersList, mesh=None) -> None:
         self.params = params
         self.dev = device_params_for(params)
+        if mesh is not None and "dp" not in mesh.shape:
+            raise ValueError(
+                "BatchVerifier shards the proof batch over a 'dp' mesh axis; "
+                f"got mesh axes {tuple(mesh.shape)} - build the mesh with "
+                "parallel.mesh.make_mesh() or make_mesh_2d()"
+            )
         self.mesh = mesh
         from ..parallel.mesh import replicate
 
