@@ -163,6 +163,7 @@ def sharded_gk_dvalues(
     ``protocol.batch_gk.gk_dvalues_device`` (tests/test_mesh.py).
     Replaces the reference's sequential ring walk, gk.ts:135-171."""
     from ..ops.f32field import TOM_N
+    from ..protocol.batch_gk import _fold_ring
 
     fo = TOM_N
     n = eli.shape[1]
@@ -177,33 +178,37 @@ def sharded_gk_dvalues(
     )
     def step(eli_s, ai_s, vals_s, vidx_s):
         localR = vals_s.shape[0]
-        gi = jax.lax.axis_index(ring_axis) * localR + jnp.arange(localR)
+        n_low = (localR - 1).bit_length()  # bits resolved inside the shard
+        dev = jax.lax.axis_index(ring_axis)
+        N_l = eli_s.shape[0]
         elib = eli_s[..., None] > 0  # [Nl, n, 1]
-        diffs = fo.sub(vidx_s[:, None, :], vals_s[None, :, :])  # [Nl, lR, L]
-        outs = []
-        for w in range(n):
-            w_m = fo.const(w)
+        ws = jnp.asarray(np.stack([fo.const(w) for w in range(n)]))
+
+        def body(_, w_m):
             f0 = jnp.where(elib, fo.neg(ai_s), fo.sub(w_m, ai_s))  # [Nl,n,L]
             f1 = jnp.where(elib, fo.add(w_m, ai_s), ai_s)
-            pix = None
-            for j in range(n):
-                bit = ((gi >> j) & 1) > 0  # [lR]
-                fac = jnp.where(
-                    bit[None, :, None],
-                    f1[:, j][:, None, :],
-                    f0[:, j][:, None, :],
-                )  # [Nl, lR, L]
-                pix = fac if pix is None else fo.mul(pix, fac)
-            terms = fo.mul(diffs, pix)
-            while terms.shape[1] > 1:  # local tree sum over the ring slice
-                half = terms.shape[1] // 2
-                terms = fo.add(terms[:, :half], terms[:, half:])
-            gathered = jax.lax.all_gather(terms[:, 0], ring_axis)  # [nd,Nl,L]
+            s = fo.add(f0[:, 0], f1[:, 0])  # sum_i p_i (replicated math)
+            for j in range(1, n):
+                s = fo.mul(s, fo.add(f0[:, j], f1[:, j]))
+            # contract the LOCAL ring slice over the low index bits ...
+            local = _fold_ring(
+                jnp.broadcast_to(vals_s[None], (N_l,) + vals_s.shape),
+                [f0[:, j][:, None, :] for j in range(n_low)],
+                [f1[:, j][:, None, :] for j in range(n_low)],
+            )
+            # ... then apply the high-bit factors selected by THIS shard's
+            # position on the ring axis (global i = dev * localR + r)
+            for j in range(n_low, n):
+                bit = ((dev >> (j - n_low)) & 1) > 0
+                local = fo.mul(local, jnp.where(bit, f1[:, j], f0[:, j]))
+            gathered = jax.lax.all_gather(local, ring_axis)  # [nd, Nl, L]
             tot = gathered[0]
             for k in range(1, gathered.shape[0]):
                 tot = fo.add(tot, gathered[k])
-            outs.append(tot)
-        return fo.canon(jnp.stack(outs, axis=1))
+            return 0, fo.sub(fo.mul(vidx_s, s), tot)
+
+        _, dvs = jax.lax.scan(body, 0, ws)  # [n, Nl, L]
+        return fo.canon(jnp.moveaxis(dvs, 0, 1))
 
     return step(eli, ai, values, v_index)
 
@@ -221,6 +226,7 @@ def sharded_gk_recombine(
     prod_j (bit_j(i) ? f_j : x-f_j) times v_i, local tree sum, one
     all_gather fold.  Bit-exact vs ``gk_recombine_device``."""
     from ..ops.f32field import TOM_N
+    from ..protocol.batch_gk import _fold_ring
 
     fo = TOM_N
     n = f.shape[1]
@@ -235,19 +241,18 @@ def sharded_gk_recombine(
     )
     def step(f_s, xf_s, vals_s):
         localR = vals_s.shape[0]
-        gi = jax.lax.axis_index(ring_axis) * localR + jnp.arange(localR)
-        pix = None
-        for j in range(n):
-            bit = ((gi >> j) & 1) > 0
-            fac = jnp.where(
-                bit[None, :, None], f_s[:, j][:, None, :], xf_s[:, j][:, None, :]
-            )
-            pix = fac if pix is None else fo.mul(pix, fac)
-        terms = fo.mul(vals_s[None], pix)
-        while terms.shape[1] > 1:
-            half = terms.shape[1] // 2
-            terms = fo.add(terms[:, :half], terms[:, half:])
-        gathered = jax.lax.all_gather(terms[:, 0], ring_axis)
+        n_low = (localR - 1).bit_length()
+        dev = jax.lax.axis_index(ring_axis)
+        N_l = f_s.shape[0]
+        local = _fold_ring(
+            jnp.broadcast_to(vals_s[None], (N_l,) + vals_s.shape),
+            [xf_s[:, j][:, None, :] for j in range(n_low)],  # bit 0 -> x-f
+            [f_s[:, j][:, None, :] for j in range(n_low)],  # bit 1 -> f
+        )
+        for j in range(n_low, n):
+            bit = ((dev >> (j - n_low)) & 1) > 0
+            local = fo.mul(local, jnp.where(bit, f_s[:, j], xf_s[:, j]))
+        gathered = jax.lax.all_gather(local, ring_axis)
         tot = gathered[0]
         for k in range(1, gathered.shape[0]):
             tot = fo.add(tot, gathered[k])

@@ -63,40 +63,60 @@ def _ring_sharded(mesh, RING: int) -> bool:
     )
 
 
+def _fold_ring(values: jnp.ndarray, factors0, factors1) -> jnp.ndarray:
+    """sum_i values_i * prod_j (factors1_j if bit_j(i) else factors0_j):
+    contract the ring axis one index bit at a time (LSB first), halving it
+    per step.  ``values`` [..., 2^n, L]; ``factors0/1[j]`` broadcastable to
+    the result of step j ([..., 2^(n-1-j), L]).  2*RING multiplies total
+    and peak live memory [..., RING/2, L] - this replaces both the
+    reference's 2^n ratio-product table (gk.ts:155-163, needs inversions)
+    and the verifier's per-element n-factor products (gk.ts:243-248,
+    O(n*RING) multiplies), with no [N, RING, L] materialization."""
+    T = values
+    for j in range(len(factors0)):
+        T = fo.add(
+            fo.mul(factors0[j], T[..., 0::2, :]),
+            fo.mul(factors1[j], T[..., 1::2, :]),
+        )
+    return T[..., 0, :]
+
+
 @jax.jit
 def gk_dvalues_device(
     eli: jnp.ndarray,  # [N, n] int32 index bits (LSB first)
-    ai: jnp.ndarray,  # [N, n, L] mont
-    values: jnp.ndarray,  # [RING, L] mont (padded ring)
-    v_index: jnp.ndarray,  # [N, L] mont (values[which] per instance)
+    ai: jnp.ndarray,  # [N, n, L]
+    values: jnp.ndarray,  # [RING, L] (padded ring)
+    v_index: jnp.ndarray,  # [N, L] (values[which] per instance)
 ) -> jnp.ndarray:
-    """d-polynomial values at omega = 0..n-1: [N, n, L] mont."""
+    """d-polynomial values at omega = 0..n-1: [N, n, L] canonical.
+
+    d(w) = sum_i (v_index - v_i) * p_i(w) with p_i(w) = prod_j f_{bit_j(i),j}(w)
+    (gk.ts:135-171) is evaluated as v_index * prod_j (f0_j + f1_j)  -
+    fold(values)  : the first term uses sum_i p_i = prod_j (f0_j + f1_j),
+    the second is the bitwise ring contraction (see _fold_ring).  One
+    ``lax.scan`` over the n evaluation points keeps the compiled program
+    size independent of n (the former unrolled w-loop materialized
+    [N, RING, L] products per point - untenable at ring 2^12)."""
     N, n = eli.shape[0], eli.shape[1]
-    elib = (eli[..., None] > 0)  # [N, n, 1]
-    dvs = []
-    vsum_terms = fo.sub(v_index[:, None, :], values[None, :, :])  # [N, RING, L]
-    for w in range(n):
-        w_m = fo.const(w)  # mont constant
+    elib = eli[..., None] > 0  # [N, n, 1]
+    ws = jnp.asarray(np.stack([fo.const(w) for w in range(n)]))  # [n, L]
+
+    def body(_, w_m):
         # f0 = (1-el)*w - a ; f1 = el*w + a  (gk.ts:146-148)
-        f0 = jnp.where(elib, fo.neg(ai[:, :, :]), fo.sub(w_m, ai))
+        f0 = jnp.where(elib, fo.neg(ai), fo.sub(w_m, ai))  # [N, n, L]
         f1 = jnp.where(elib, fo.add(w_m, ai), ai)
-        inv_f0 = fo.batch_inv(f0.reshape(-1, f0.shape[-1])).reshape(f0.shape)
-        ratio = fo.mul(f1, inv_f0)  # [N, n, L]
-        # prod = prod_j f0_j
-        prod = f0[:, 0]
+        s = fo.add(f0[:, 0], f1[:, 0])  # sum_i p_i(w)
         for j in range(1, n):
-            prod = fo.mul(prod, f0[:, j])
-        # p table by successive doubling (gk.ts:155-163)
-        p = prod[:, None, :]  # [N, 1, L]
-        for j in range(n):
-            p = jnp.concatenate([p, fo.mul(ratio[:, j : j + 1, :], p)], axis=1)
-        # dval = sum_i (v_index - v_i) * p_i  (gk.ts:165-170)
-        terms = fo.mul(vsum_terms, p)  # [N, RING, L]
-        while terms.shape[1] > 1:
-            half = terms.shape[1] // 2
-            terms = fo.add(terms[:, :half], terms[:, half:])
-        dvs.append(terms[:, 0])
-    return fo.canon(jnp.stack(dvs, axis=1))  # [N, n, L] canonical
+            s = fo.mul(s, fo.add(f0[:, j], f1[:, j]))
+        fold = _fold_ring(
+            jnp.broadcast_to(values[None], (N,) + values.shape),
+            [f0[:, j][:, None, :] for j in range(n)],
+            [f1[:, j][:, None, :] for j in range(n)],
+        )
+        return 0, fo.sub(fo.mul(v_index, s), fold)
+
+    _, dvs = jax.lax.scan(body, 0, ws)  # [n, N, L]
+    return fo.canon(jnp.moveaxis(dvs, 0, 1))  # [N, n, L] canonical
 
 
 @jax.jit
@@ -113,26 +133,22 @@ def _gk_commit_device(comb_g, comb_h, v, r):
 
 @jax.jit
 def gk_recombine_device(
-    f: jnp.ndarray,  # [N, n, L] mont (response scalars)
-    xf: jnp.ndarray,  # [N, n, L] mont (x - f)
-    values: jnp.ndarray,  # [RING, L] mont
+    f: jnp.ndarray,  # [N, n, L] (response scalars)
+    xf: jnp.ndarray,  # [N, n, L] (x - f)
+    values: jnp.ndarray,  # [RING, L]
 ) -> jnp.ndarray:
-    """total = sum_i v_i * prod_j (f_j if bit_j(i) else x-f_j): [N, L]."""
-    RING = values.shape[0]
-    n = f.shape[1]
-    pix = jnp.broadcast_to(
-        jnp.asarray(fo.one), (f.shape[0], RING, fo.nlimbs)
+    """total = sum_i v_i * prod_j (f_j if bit_j(i) else x-f_j): [N, L].
+    Bitwise ring contraction (see _fold_ring) - 2*RING multiplies, peak
+    [N, RING/2, L], vs the former per-element product's O(n*RING)
+    multiplies over a full [N, RING, L] block (gk.ts:239-250)."""
+    N, n = f.shape[0], f.shape[1]
+    return fo.canon(
+        _fold_ring(
+            jnp.broadcast_to(values[None], (N,) + values.shape),
+            [xf[:, j][:, None, :] for j in range(n)],
+            [f[:, j][:, None, :] for j in range(n)],
+        )
     )
-    idx = np.arange(RING)
-    for j in range(n):
-        bit = jnp.asarray((idx >> j) & 1 > 0)[None, :, None]
-        factor = jnp.where(bit, f[:, j : j + 1, :], xf[:, j : j + 1, :])
-        pix = fo.mul(pix, factor)
-    terms = fo.mul(values[None], pix)
-    while terms.shape[1] > 1:
-        half = terms.shape[1] // 2
-        terms = fo.add(terms[:, :half], terms[:, half:])
-    return fo.canon(terms[:, 0])
 
 
 def batch_prove_membership(

@@ -100,6 +100,41 @@ def sha256_batch(messages: list[bytes], threads: int | None = None) -> list[byte
     return [out.raw[32 * i : 32 * i + 32] for i in range(len(messages))]
 
 
+def sha256_rows(arr, threads: int | None = None):
+    """Hash every row of a uint8 matrix [M, K]: returns [M, 32] uint8.
+
+    Fixed-stride variant of :func:`sha256_batch` for the batched prover's
+    Fiat-Shamir phases: one contiguous buffer + a numpy offset vector, no
+    per-row Python bytes objects (at N=1024 the challenge stage hashes
+    ~250k serialized-point messages - reference src/exp/exp.ts:158-165 and
+    the per-sub-proof hashes of pointAdd.ts:116,145-161 run per round)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    M, K = a.shape
+    lib = _load()
+    if lib is None:
+        out = np.empty((M, 32), np.uint8)
+        buf = a.tobytes()
+        for i in range(M):
+            out[i] = np.frombuffer(
+                hashlib.sha256(buf[i * K : (i + 1) * K]).digest(), np.uint8
+            )
+        return out
+    if threads is None:
+        threads = min(os.cpu_count() or 1, 16)
+    offs = np.arange(M + 1, dtype=np.uint64) * np.uint64(K)
+    out = ctypes.create_string_buffer(32 * M)
+    lib.zk_sha256_batch(
+        a.ctypes.data_as(ctypes.c_char_p),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        M,
+        out,
+        threads,
+    )
+    return np.frombuffer(out, dtype=np.uint8).reshape(M, 32).copy()
+
+
 def fill_random(n: int) -> bytes:
     lib = _load()
     if lib is None:
