@@ -149,6 +149,55 @@ def main() -> None:
         _, dt = timeit(lambda: verify_membership(pp, com.p, keys, gkp), 1)
         row(f"gk/verify ring={R} (host)", dt * 1e9)
 
+    # ---- device GK kernels by ring size (config 3: the d-polynomial
+    # evaluation and ring recombination on-chip; gk.ts:135-171, 239-250) ----
+    from zkecdsa_tpu.protocol.batch_gk import (
+        gk_dvalues_device,
+        gk_recombine_device,
+    )
+
+    NGK = int(os.environ.get("CB_GK_BATCH", "64"))
+    for R in rings:
+        RING = 1 << max(1, (R - 1).bit_length())
+        n = (RING - 1).bit_length()
+        if n == 0:
+            continue
+        vals = jnp.asarray(
+            TOM_N.pack([3 + 2 * i for i in range(RING)], mont=False)
+        )
+        eli = jnp.asarray(np.random.RandomState(8).randint(0, 2, (NGK, n)), jnp.int32)
+        ai = jnp.asarray(
+            TOM_N.pack(
+                [int.from_bytes(rs.bytes(31), "big") for _ in range(NGK * n)]
+            )
+        ).reshape(NGK, n, -1)
+        vidx = jnp.asarray(
+            TOM_N.pack([int.from_bytes(rs.bytes(31), "big") for _ in range(NGK)])
+        )
+        f_a = jnp.asarray(
+            TOM_N.pack(
+                [int.from_bytes(rs.bytes(31), "big") for _ in range(NGK * n)]
+            )
+        ).reshape(NGK, n, -1)
+        _, dt = timeit(
+            lambda: jax.block_until_ready(gk_dvalues_device(eli, ai, vals, vidx)),
+            3,
+        )
+        row(
+            f"gk/dvalues ring={RING} batch={NGK} (device)",
+            dt * 1e9 / NGK,
+            f"({dt*1e3:.1f} ms/batch)",
+        )
+        _, dt = timeit(
+            lambda: jax.block_until_ready(gk_recombine_device(f_a, f_a, vals)),
+            3,
+        )
+        row(
+            f"gk/recombine ring={RING} batch={NGK} (device)",
+            dt * 1e9 / NGK,
+            f"({dt*1e3:.1f} ms/batch)",
+        )
+
     if not fast:
         # ---- end-to-end + serde + sizes (zkpAttestList.bench.ts) ----
         with rng.deterministic(6):

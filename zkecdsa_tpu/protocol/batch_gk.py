@@ -251,6 +251,14 @@ def batch_prove_membership(
                 TEdwardsPoint(tomEdwards256, xs[base + t], ys[base + t])
                 for t in range(4 * n)
             ]
+        # batched challenge x = H(cl || ca || cb || cd) per instance
+        # (gk.ts:179-180; statement deliberately NOT hashed, quirk list
+        # SURVEY 7.5) straight from the device affine bytes
+        from .fiat_shamir import challenge_rows, point_bytes
+
+        x_batch = challenge_rows(
+            [point_bytes(tom_ops.f, cx, cy, 33).reshape(N, 4 * n * 67)]
+        )
 
     # responses + proof assembly (host; small)
     proofs = []
@@ -260,6 +268,7 @@ def batch_prove_membership(
             row = commit_pts[i]
             cl, ca = row[:n], row[n : 2 * n]
             cb, cd = row[2 * n : 3 * n], row[3 * n : 4 * n]
+            x = x_batch[i]
         else:
             from ..proofGK.gk import _commit
 
@@ -270,7 +279,7 @@ def batch_prove_membership(
                 for j in range(n)
             ]
             cd = [_commit(params, di[j], rho[i][j]) for j in range(n)]
-        x = hash_points(cl + ca + cb + cd)
+            x = hash_points(cl + ca + cb + cd)
         f = [c.new_scalar((eli[i][j] * x + ai[i][j]) % order) for j in range(n)]
         za = [c.new_scalar((ri[i][j] * x + si[i][j]) % order) for j in range(n)]
         zb = [

@@ -143,7 +143,9 @@ def _msm_rows_fn(group_name: str, T: int):
 # [N, T, 16, C, L] window table (the scan carries the table plus the
 # per-column gathered terms and tree-reduce temporaries), so the chunker
 # charges 2x the table size against this budget (advisor r1 item).
-MSM_TABLE_BYTES = 1 << 29  # 512 MiB
+# 2 GiB: ~4 GiB peak on a 16 GiB v5e, leaving headroom for the resident
+# phase tables - fewer, fatter dispatches than the former 512 MiB budget.
+MSM_TABLE_BYTES = 1 << 31
 
 
 def _batched_msm_identity(
@@ -151,12 +153,18 @@ def _batched_msm_identity(
     rows: list[tuple[list[Point], list[int]]],
     mesh=None,
 ) -> np.ndarray:
-    """One device dispatch (chunked only when the Straus tables would blow
-    the HBM budget): is Σ s_i P_i the identity, per row?  Rows are padded
-    with (identity, 0) to a shared power-of-two length.  With a ``mesh``
-    the row batch is dp-sharded (each device builds only its shard's window
-    tables, so the HBM budget scales by the dp size)."""
+    """One device dispatch (chunked only when live memory would blow the
+    HBM budget): is Σ s_i P_i the identity, per row?  Rows are padded with
+    (identity, 0) to a shared power-of-two length.  With a ``mesh`` the
+    row batch is dp-sharded (each device holds only its shard's rows, so
+    the HBM budget scales by the dp size).
+
+    Backend dispatch: the Straus shared-window kernel (``msm_shared``) by
+    default; the bucket kernel (``msm_pippenger_rows``, no [T, 16] window
+    table) when T reaches ``Config.pippenger_min_t`` - threshold measured
+    on-chip (tools/msm_crossover.py)."""
     from ..parallel.mesh import shard_batch
+    from ..utils.config import get_config
 
     ops = _OPS[group.name]
     N = len(rows)
@@ -173,13 +181,28 @@ def _batched_msm_identity(
         scs.extend(s)
         scs.extend([0] * (T - len(s)))
     arr = jnp.asarray(ops.pack_points(pts)).reshape(N, T, ops.NCOORD, ops.f.nlimbs)
-    digits = jnp.asarray(nibble_digits(scs).reshape(N, T, 64))
-    row_bytes = 2 * T * TABLE * ops.NCOORD * ops.f.nlimbs * 4
+    min_t = get_config().pippenger_min_t
+    use_pip = bool(min_t) and T >= min_t
+    point_row = T * ops.NCOORD * ops.f.nlimbs * 4
+    # Straus: ~2x the 16-entry window table; bucket: ~4x the point row
+    # (sorted gather + Hillis-Steele temporaries), no table
+    row_bytes = 4 * point_row if use_pip else 2 * TABLE * point_row
     ndev = mesh.shape["dp"] if mesh is not None else 1
     chunk = max(1, min(N, ndev * MSM_TABLE_BYTES // row_bytes))
     if mesh is not None:
         # keep chunks dp-divisible so every shard stays even
         chunk = max(ndev, chunk - chunk % ndev)
+    if use_pip:
+        ispot = jax.jit(ops.is_identity)
+        out = []
+        for i in range(0, N, chunk):
+            a = arr[i : i + chunk]
+            srows = [scs[j * T : (j + 1) * T] for j in range(i, min(i + chunk, N))]
+            if mesh is not None and a.shape[0] % ndev == 0:
+                a = shard_batch(mesh, a)
+            out.append(np.asarray(ispot(ops.msm_pippenger_rows(a, srows))))
+        return np.concatenate(out)
+    digits = jnp.asarray(nibble_digits(scs).reshape(N, T, 64))
     fn = _msm_rows_fn(group.name, T)
     out = []
     for i in range(0, N, chunk):
@@ -234,6 +257,20 @@ class BatchVerifier:
         ok = [True] * N
         # ---- host: parse + challenges + round sampling ----
         with stage("verify.host_prep"):
+            from ..runtime import native
+
+            # all exp challenges in one threaded hash batch (the messages
+            # are serialized proof points; exp.ts:260 recomputation)
+            msgs = []
+            for proof in proofs:
+                try:
+                    parts = [proof.keyXcom.to_bytes(), proof.keyYcom.to_bytes()]
+                    for p in proof.expProof:
+                        parts += [p.A.to_bytes(), p.Tx.to_bytes(), p.Ty.to_bytes()]
+                    msgs.append(b"".join(parts))
+                except Exception:
+                    msgs.append(b"")
+            digests = native.sha256_batch(msgs)
             z1s = [0] * N
             m_sc = [[0] * S for _ in range(N)]
             rb = [[(0, 0)] * S for _ in range(N)]
@@ -248,10 +285,7 @@ class BatchVerifier:
                 z = _truncate_to_n(big.from_bytes(msg_hashes[i]), n_ord)
                 rinv = big.inv_mod(coordR[0], n_ord)
                 z1s[i] = rinv * z % n_ord
-                pts = [proof.keyXcom, proof.keyYcom]
-                for p in pi:
-                    pts += [p.A, p.Tx, p.Ty]
-                challenge = hash_points(pts)
+                challenge = big.from_bytes(digests[i][:10])
                 indices = generate_indices(S, len(pi))
                 bits = padded_bits(challenge, len(pi))
                 for j in range(S):

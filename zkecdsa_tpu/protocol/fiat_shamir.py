@@ -39,6 +39,8 @@ def be_bytes(field: F32Field, arr, nbytes: int) -> np.ndarray:
     assert a.size == 0 or (a.min() >= 0 and a.max() < BASE), (
         "be_bytes requires canonical digits"
     )
+    if a.shape[0] == 0:
+        return np.empty((0, nbytes), np.uint8)
     d8 = a.astype(np.uint8)
     bits = np.unpackbits(d8[:, :, None], axis=2, bitorder="little")[
         :, :, :BASE_BITS

@@ -11,6 +11,11 @@ documentation pretending to be code - advisor r1 / VERDICT r2 weak #8):
   ``protocol.batch_verify``).
 * ``profile_dir`` - when set, ``utils.profiling.trace`` writes a
   jax.profiler trace there.
+* ``pippenger_min_t`` - term-count threshold above which the batch
+  verifier's identity MSMs dispatch the bucket (Pippenger) kernel instead
+  of the Straus shared-window kernel (``protocol.batch_verify``); 0
+  disables the bucket path.  Default set from the chip crossover
+  measurement (tools/msm_crossover.py, BASELINE.md).
 
 Batch size and mesh shape are deliberately NOT config fields: the batch is
 the shape of the data handed to ``BatchProver.prove`` and the mesh is an
@@ -34,6 +39,7 @@ class Config:
     sec_level: int = 80  # prover rounds (zkpAttestList.ts:88)
     verify_rounds: int = 20  # top-level verifier spot-checks (":177")
     profile_dir: str | None = None  # jax.profiler trace output
+    pippenger_min_t: int = 0  # MSM bucket-kernel threshold (0 = never)
 
     @classmethod
     def from_env(cls) -> "Config":
