@@ -23,12 +23,18 @@ L = P256_N.nlimbs
 f32 = jnp.float32
 z = lambda *s: jnp.zeros(s + (L,), f32)
 
-a_args = (z(N, 3), z(N), z(N), z(N), z(N), z(N), z(N), z(N), z(N), z(N),
+E = 56
+tabs = {
+    "G": z(16, 3), "h_n": z(16, 3), "g_t": z(16, 4), "h_t": z(16, 4),
+    "g_t8": z(32, 256, 4), "h_t8": z(32, 256, 4), "h_n8": z(32, 256, 3),
+}
+a_args = (tabs, z(N, 3), z(N), z(N), z(N), z(N), z(N), z(N), z(N), z(N), z(N),
           z(N, SECPARAM), z(N, SECPARAM), z(N, SECPARAM), z(N, SECPARAM))
-b_args = (z(N, 16, 3), z(N, 3), z(N, SECPARAM, 4), z(N, 4), z(N, 4),
-          z(N, SECPARAM), z(N), z(N),
-          z(N, SECPARAM), z(N, SECPARAM, BK), z(N, SECPARAM, BK))
-v_args = (z(N, 3), jnp.zeros((N, 64), f32), jnp.zeros((N, S, 64), f32),
+b_args = (tabs, z(N, 16, 3), z(N, 3), z(N, SECPARAM, 4), z(N, SECPARAM, 4),
+          z(N, 4), z(N, 4), z(N, SECPARAM), z(N), z(N),
+          z(N, E), z(N, E, BK), z(N, E, BK), jnp.zeros((N, E), jnp.int32))
+v_args = (tabs, z(N, 3), jnp.zeros((N, 64), jnp.int32),
+          jnp.zeros((N, S, 64), jnp.int32),
           jnp.zeros((N, S), bool), z(N, S, 2))
 
 for name, fn, args in (("phase_a", phase_a, a_args),

@@ -43,6 +43,8 @@ under ``jit``/``vmap``/``shard_map``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,6 +76,36 @@ def _int_to_digits(x: int, n: int) -> np.ndarray:
     return np.array(
         [(x >> (BASE_BITS * i)) & (BASE - 1) for i in range(n)], dtype=np.float32
     )
+
+
+# Digit-convolution implementation (the core of ``F32Field.mul``),
+# switchable for chip measurement (tools/fmul_microbench.py):
+#   "reshape" - pad-row reshape + two masked VPU reductions (default; the
+#               conv "matrix" has exactly one nonzero per row, i.e. it is
+#               a segment-sum - the dense MXU dot paid (2W-1)x redundant
+#               flops for it, and measured ~2.8x slower on the chip)
+#   "matmul"  - one-hot [W*W, 2W-1] f32 MXU dot (rounds 2-3 engine)
+_CONV_IMPL = os.environ.get("ZKECDSA_CONV", "reshape")
+
+
+def _conv_reshape(outer3: jnp.ndarray, W: int) -> jnp.ndarray:
+    """Anti-diagonal sums of ``outer3`` [..., W, W] -> [..., 2W-1] with no
+    MXU pass: pad each row by one zero and flatten - entry (i, j) lands at
+    p = i*(W+1) + j; viewing the flat array as G [W+1, W] (p = r*W + c)
+    gives k := i + j = (r - i)*W + c with r - i in {0, 1}, and r == i
+    exactly when r <= c.  So cols[c] = sum of column c where r <= c and
+    cols[W + c] = sum where r > c: two masked reductions, no [W*W, 2W-1]
+    one-hot operand, exact (all partial sums stay below the caller's
+    < 2^24 column bound)."""
+    lead = outer3.shape[:-2]
+    F2 = jnp.pad(
+        outer3, [(0, 0)] * len(lead) + [(0, 0), (0, 1)]
+    ).reshape(lead + (W + 1, W))
+    r = jax.lax.broadcasted_iota(jnp.int32, (W + 1, W), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (W + 1, W), 1)
+    low = jnp.sum(jnp.where(r <= c, F2, 0.0), axis=-2)  # [..., W]
+    high = jnp.sum(jnp.where(r > c, F2, 0.0), axis=-2)
+    return jnp.concatenate([low, high[..., : W - 1]], axis=-1)
 
 
 def _conv_mat(W: int) -> jnp.ndarray:
@@ -307,14 +339,17 @@ class F32Field:
         mba, mbb = max(ba), max(bb)
         cols_bound = W * mba * mbb
         assert cols_bound < F32_EXACT, (mba, mbb, W)
-        # schoolbook convolution as outer product + one one-hot dot (MXU);
-        # exact: every product and partial sum stays below 2^24
-        outer = (a[..., :, None] * b[..., None, :]).reshape(
-            a.shape[:-1] + (W * W,)
-        )
-        cols = jnp.einsum(
-            "...m,mk->...k", outer, _conv_mat(W), precision=_HIGHEST
-        )
+        # schoolbook convolution of the digit vectors; exact in f32:
+        # every product and partial sum stays below 2^24 (see _CONV_IMPL)
+        if _CONV_IMPL == "reshape":
+            cols = _conv_reshape(a[..., :, None] * b[..., None, :], W)
+        else:
+            outer = (a[..., :, None] * b[..., None, :]).reshape(
+                a.shape[:-1] + (W * W,)
+            )
+            cols = jnp.einsum(
+                "...m,mk->...k", outer, _conv_mat(W), precision=_HIGHEST
+            )
         cb = [min(k + 1, W, 2 * W - 1 - k) * mba * mbb for k in range(2 * W - 1)]
         return self._reduce(cols, cb)
 

@@ -270,26 +270,44 @@ def phase_a(tabs, pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
     pkC = allC[:, :2]
     TC = allC[:, 2:].reshape(N, SECPARAM, 2, 4, L)
     tcx, tcy = tom_affine_std(allC)  # one Tom affine pass
+    # host-bound canonical outputs ship as uint8 digits (exact: canonical
+    # digits are < 128), 4x less device->host transfer than f32
+    u8 = lambda v: v.astype(jnp.uint8)  # noqa: E731
     return {
         "Q": Q, "tab_R": tab_R, "TC": TC, "pkC": pkC,
-        "small_aff": (small_x, small_y),  # [N, 3(R,Q,comS1), L]
-        "TA_aff": (ta_x, ta_y),  # [N, 80, 2(T,A), L]
+        "small_aff": (u8(small_x), u8(small_y)),  # [N, 3(R,Q,comS1), L]
+        "TA_aff": (u8(ta_x), u8(ta_y)),  # [N, 80, 2(T,A), L]
         "T_v": (Tx_v, Ty_v),
-        "pk_aff": (tcx[:, :2], tcy[:, :2]),  # [N, 2, L]
+        "pk_aff": (u8(tcx[:, :2]), u8(tcy[:, :2])),  # [N, 2, L]
         "TC_aff": (
-            tcx[:, 2:].reshape(N, SECPARAM, 2, L),
-            tcy[:, 2:].reshape(N, SECPARAM, 2, L),
+            u8(tcx[:, 2:].reshape(N, SECPARAM, 2, L)),
+            u8(tcy[:, 2:].reshape(N, SECPARAM, 2, L)),
         ),  # [N, 80, 2, L]
     }
 
 def phase_b(tabs, tab_R, Q, TxC, TyC, pkX, pkY, Tx_v, pkx_v, pky_v,
-            z, com_vals, com_blinds):
-    """com_vals/com_blinds: [N, 80, K, L] stacked Pedersen inputs in the
+            z, com_vals, com_blinds, eidx):
+    """com_vals/com_blinds: [N, E, K, L] stacked Pedersen inputs in the
     _BSTACK slot order; values at slots 0/1 (t1x/t1y) are placeholders
     overwritten here once T1 is known.  One commit call, one stacked
-    C4/A42 multiply, one stacked affine conversion."""
-    # T1 = z*R + Q  (exp.ts:190-193), all rounds; odd-bit rounds are
-    # discarded at assembly (static shapes, masked semantics).
+    C4/A42 multiply, one stacked affine conversion.
+
+    E <= 80 is the compacted EVEN-round axis: only even-challenge-bit
+    rounds carry a point-add sub-proof (exp.ts:184-225), and the host
+    knows the challenge before this dispatch - so the per-round inputs
+    arrive pre-compacted ([N, E] instead of [N, 80], E = per-batch max
+    even count quantized to {48, 56, 64, 80} to bound recompiles) and
+    ``eidx`` [N, E] selects each instance's even rounds from the
+    phase-A round-axis outputs (TxC/TyC/Tx_v).  Padding rows (eidx
+    repeats the last even round) compute garbage that is never
+    unpacked.  This cuts ~2.4x of the commit stack, the C4/A42
+    windowed muls, the affine pass, and the device->host transfer."""
+    def sel_rounds(arr):
+        idx = eidx.reshape(eidx.shape + (1,) * (arr.ndim - 2))
+        return jnp.take_along_axis(arr, idx, axis=1)
+
+    TxC, TyC, Tx_v = (sel_rounds(a) for a in (TxC, TyC, Tx_v))
+    # T1 = z*R + Q  (exp.ts:190-193) on the compacted even rounds
     T1 = p256_ops.add(
         p256_ops.scalar_mul_table(tab_R[:, None], _digits_host(fn, z)),
         Q[:, None],
@@ -354,11 +372,11 @@ def phase_b(tabs, tab_R, Q, TxC, TyC, pkX, pkY, Tx_v, pkx_v, pky_v,
     combos = jnp.stack([C7, C9, C12, cintX, cintY], axis=-3)
     # one affine conversion for every Tom point produced here
     tom_stack = jnp.concatenate([commits, C4s, A42s, combos], axis=-3)
-    sx, sy = tom_affine_std(tom_stack)  # [N, 80, K+13, L]
+    sx, sy = tom_affine_std(tom_stack)  # [N, E, K+13, L]
+    u8 = lambda v: v.astype(jnp.uint8)  # noqa: E731 (see phase_a)
     return {
-        "T1_aff": (t1x, t1y),
-        "tom_aff": (sx, sy),
-        "ints": ints_std,
+        "tom_aff": (u8(sx), u8(sy)),
+        "ints": [u8(v) for v in ints_std],
     }
 
 # Whole-phase jit: every building block inside is scan-based, so the
@@ -626,10 +644,26 @@ class BatchProver:
                             a2r[i][j][jj] = tape.rnd(t_ord)
                 ch >>= 1
 
-        # stacked commit inputs [N, 80, BK, L] in _SLOT order
+        # compacted even-round axis: only even-challenge rounds reach the
+        # device (the host knows the challenge bits here; see phase_b
+        # docstring).  E = per-batch max even count, quantized so compiled
+        # phase-B shapes stay few.
+        even_idx = [
+            [j for j in range(SECPARAM) if even_mask[i][j]] for i in range(N)
+        ]
+        cnt = np.array([len(r) for r in even_idx], np.int64)
+        mx = int(cnt.max()) if N else 0
+        E = next(e for e in (48, 56, 64, SECPARAM) if mx <= e)
+        eidx_np = np.zeros((N, E), np.int32)
+        for i, r in enumerate(even_idx):
+            eidx_np[i, : len(r)] = r
+            eidx_np[i, len(r) :] = r[-1] if r else 0  # pad: repeat last
+        # stacked commit inputs [N, E, BK, L] in _SLOT order (even rounds)
         vals_rows, blind_rows = [], []
+        z_even = []
         for i in range(N):
-            for j in range(SECPARAM):
+            for j in eidx_np[i]:
+                z_even.append(zvals[i][j])
                 vals_rows += [0] * 6  # device fills t1x,t1y,i8,i10,i11,i13
                 vals_rows += kx[i][j] + ky[i][j] + kz[i][j] + kz[i][j]
                 vals_rows += keq[i][j] + keq[i][j]
@@ -637,10 +671,10 @@ class BatchProver:
                 blind_rows += axr[i][j] + ayr[i][j] + azr[i][j] + a41r[i][j]
                 blind_rows += a1r[i][j] + a2r[i][j]
         com_vals = shard_batch(
-            mesh, _pk_scalars(fo, vals_rows).reshape(N, SECPARAM, BK, -1)
+            mesh, _pk_scalars(fo, vals_rows).reshape(N, E, BK, -1)
         )
         com_blinds = shard_batch(
-            mesh, _pk_scalars(fo, blind_rows).reshape(N, SECPARAM, BK, -1)
+            mesh, _pk_scalars(fo, blind_rows).reshape(N, E, BK, -1)
         )
 
         with stage("phase_b.device"):
@@ -650,24 +684,29 @@ class BatchProver:
                 a["pkC"][..., 0, :, :], a["pkC"][..., 1, :, :],
                 jnp.asarray(a["T_v"][0]),
                 pack_o([c[0] for c in pk_coords]), pack_o([c[1] for c in pk_coords]),
-                pack_n2(zvals), com_vals, com_blinds,
+                shard_batch(mesh, _pk_scalars(fn, z_even).reshape(N, E, -1)),
+                com_vals, com_blinds,
+                shard_batch(mesh, jnp.asarray(eidx_np)),
             )
             b = jax.block_until_ready(b)
 
         with stage("phase_b.unpack"):
-            # Only even-challenge rounds carry a point-add sub-proof; the
-            # device computes all 80 (static shapes) but the host unpacks
-            # only the ~half that reach a proof object.  The five combo
-            # slots (C7/C9/C12/CIX/CIY) are hash inputs only: they are
-            # serialized to bytes below, never unpacked to ints.
+            # The compacted [N, E] rows are valid for the first cnt[i]
+            # entries of each instance; valid entries in row-major order
+            # correspond 1:1 (same (i, ascending j) order) to the True
+            # entries of even_mask, so ``pos`` maps (i, j) to a row of the
+            # masked unpack arrays.  The five combo slots (C7/C9/C12/
+            # CIX/CIY) are hash inputs only: serialized to bytes below,
+            # never unpacked to ints.
             emask = np.asarray(even_mask)  # [N, 80]
+            sel = np.arange(E)[None, :] < cnt[:, None]  # [N, E]
             pos = np.full((N, SECPARAM), -1, np.int64)
             pos[emask] = np.arange(int(emask.sum()))
             ints = [
-                _unp(fo, np.asarray(v)[emask]) for v in b["ints"]
+                _unp(fo, np.asarray(v)[sel]) for v in b["ints"]
             ]  # 7 x [K]
-            ex = np.asarray(b["tom_aff"][0])[emask]  # [K, NSLOT, L]
-            ey = np.asarray(b["tom_aff"][1])[emask]
+            ex = np.asarray(b["tom_aff"][0])[sel]  # [K, NSLOT, L]
+            ey = np.asarray(b["tom_aff"][1])[sel]
             tom_x = _unp(tom_ops.f, ex[:, : BK + 8])
             tom_y = _unp(tom_ops.f, ey[:, : BK + 8])
 

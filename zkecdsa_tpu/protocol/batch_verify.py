@@ -171,7 +171,11 @@ def _batched_msm_identity(
     if N == 0:
         return np.zeros(0, dtype=bool)
     tmax = max((len(p) for p, _ in rows), default=1)
-    T = 1 << max(5, (tmax - 1).bit_length())
+    # pad term lanes to a multiple of 128, not a power of two: the Straus
+    # cost (gather + first tree-reduce level + table build) scales with T,
+    # and e.g. ring-1024 proofs accumulate ~600 terms - padding those to
+    # 1024 lanes would waste ~40% of the MSM work
+    T = max(32, -(-tmax // 128) * 128)
     ident = group.identity()
     pts: list[Point] = []
     scs: list[int] = []
