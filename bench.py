@@ -21,10 +21,16 @@ import time
 def main() -> None:
     import hashlib
 
-    import jax
+    from zkecdsa_tpu.utils.cache import enable_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    enable_persistent_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # sitecustomize imports jax at interpreter boot, freezing the
+        # platform before env vars are read - force it via the config API
+        # so the documented CPU knob actually works (tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from zkecdsa_tpu import ecdsa
     from zkecdsa_tpu.protocol.batch import BatchProver
@@ -86,8 +92,15 @@ def main() -> None:
         tapes = [rng.DeterministicSource(seed_base + i) for i in range(B)]
         return prover.prove(msgs, sigs, pubs, whichs, ring, tapes)
 
-    # warm-up: compile everything
+    # warm-up: compile everything.  The phase programs compile on
+    # concurrent threads first (BatchProver.warmup); the prove that
+    # follows then hits the persistent compilation cache.
     t0 = time.perf_counter()
+    try:
+        prover.warmup(B)
+        print(f"# parallel phase compile: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
+    except Exception as exc:  # warmup is an optimization, never a gate
+        print(f"# parallel warmup failed ({exc!r}); falling back", file=sys.stderr)
     proofs = run(10_000)
     print(f"# prove warm-up (incl compile): {time.perf_counter() - t0:.1f} s", file=sys.stderr)
     if verifier is not None:

@@ -19,7 +19,7 @@ else
 fi
 
 echo "== e2e walkthrough (host scalar path)"
-timeout 600 python examples/usage.py >/dev/null
+PYTHONPATH=. timeout 600 python examples/usage.py >/dev/null
 
 echo "== test suite (virtual 8-device CPU mesh)"
 python -m pytest tests/ -q

@@ -166,14 +166,15 @@ def test_sharded_gk_recombine_matches_device():
 
 
 @pytest.mark.slow
-def test_sharded_pipeline_bit_exact(params, no_compilation_cache):
+def test_sharded_pipeline_bit_exact(params):
     """The REAL pipeline dp-sharded over 2 devices: proofs must be
     byte-identical to the unsharded batched prover under the same tapes,
     and the sharded verifier must accept them (and reject a tamper).
 
-    Runs with the persistent compilation cache OFF: caching this test's
-    dp-sharded MSM executable segfaults JAX's zstd cache writer (see
-    conftest.no_compilation_cache)."""
+    Runs WITH the persistent cache on purpose: caching this test's
+    dp-sharded executables used to segfault JAX's zstd cache writer, and
+    the suite-wide zlib fallback (utils/cache.enable_persistent_cache)
+    must keep it green - this test is the regression gate for that."""
     mesh = make_mesh(2)
     with rng.deterministic(99):
         ring = []

@@ -23,11 +23,9 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from zkecdsa_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 
     from zkecdsa_tpu.curves.instances import tomEdwards256
     from zkecdsa_tpu.ops.curve_ops import nibble_digits, tom_ops

@@ -16,9 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+from zkecdsa_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
 )
 
 from zkecdsa_tpu.curves.instances import p256, tomEdwards256

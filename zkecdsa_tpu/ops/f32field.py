@@ -79,13 +79,28 @@ def _int_to_digits(x: int, n: int) -> np.ndarray:
 
 
 # Digit-convolution implementation (the core of ``F32Field.mul``),
-# switchable for chip measurement (tools/fmul_microbench.py):
-#   "reshape" - pad-row reshape + two masked VPU reductions (default; the
-#               conv "matrix" has exactly one nonzero per row, i.e. it is
-#               a segment-sum - the dense MXU dot paid (2W-1)x redundant
-#               flops for it, and measured ~2.8x slower on the chip)
-#   "matmul"  - one-hot [W*W, 2W-1] f32 MXU dot (rounds 2-3 engine)
-_CONV_IMPL = os.environ.get("ZKECDSA_CONV", "reshape")
+# switchable for chip measurement.  Interleaved same-process chip numbers
+# (tools/conv_compare.py, v5e, rows=2^15, two passes, all bit-exact):
+#
+#   impl      256-bit fmul   Edwards add
+#   matmul        59 ns/el     544 ns/el   <- default
+#   bf16          67 ns/el     641 ns/el
+#   reshape       87 ns/el     853 ns/el
+#
+#   "matmul"  - one-hot [W*W, 2W-1] f32 HIGHEST MXU dot.  Counter-
+#               intuitively fastest: the dot pays (2W-1)x redundant MXU
+#               flops but the operands stream once through the MXU, while
+#               both "cheaper" alternatives bottleneck elsewhere.
+#   "bf16"    - hi/lo-split one-hot bf16 MXU dot (two native-rate passes,
+#               exact since post-_prep digits <= 134 make both halves
+#               integers <= 256): the two extra elementwise passes that
+#               build the split cost more than the MXU passes save.
+#   "reshape" - pad-row reshape + two masked VPU reductions (the conv
+#               matrix is a segment-sum - one nonzero per row - so this
+#               does the minimum arithmetic): VPU reduction throughput
+#               loses to the MXU by 1.5x.  Kept as documentation of the
+#               negative result.
+_CONV_IMPL = os.environ.get("ZKECDSA_CONV", "matmul")
 
 
 def _conv_reshape(outer3: jnp.ndarray, W: int) -> jnp.ndarray:
@@ -343,6 +358,21 @@ class F32Field:
         # every product and partial sum stays below 2^24 (see _CONV_IMPL)
         if _CONV_IMPL == "reshape":
             cols = _conv_reshape(a[..., :, None] * b[..., None, :], W)
+        elif _CONV_IMPL == "bf16":
+            assert mba * mbb < (1 << 15), (mba, mbb)  # hi/lo bf16-exact
+            outer = (a[..., :, None] * b[..., None, :]).reshape(
+                a.shape[:-1] + (W * W,)
+            )
+            hi = jnp.floor(outer * (1.0 / BASE))
+            lo = outer - hi * float(BASE)
+            m16 = _conv_mat(W).astype(jnp.bfloat16)
+            cols = jnp.einsum(
+                "...m,mk->...k", hi.astype(jnp.bfloat16), m16,
+                preferred_element_type=jnp.float32,
+            ) * float(BASE) + jnp.einsum(
+                "...m,mk->...k", lo.astype(jnp.bfloat16), m16,
+                preferred_element_type=jnp.float32,
+            )
         else:
             outer = (a[..., :, None] * b[..., None, :]).reshape(
                 a.shape[:-1] + (W * W,)

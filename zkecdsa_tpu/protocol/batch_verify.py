@@ -119,10 +119,12 @@ def vphase(tabs, R, z1d, md, bits, rb):
     )  # [N,S,2,4,L]
     cx, cy, _ = tom_ops.to_affine(com)
     cx, cy = ft.canon(cx), ft.canon(cy)
+    # canonical digits < 128 ship exactly as uint8: 4x less transfer
+    u8 = lambda v: v.astype(jnp.uint8)  # noqa: E731
     return {
-        "T0_aff": (x[..., 0, :], y[..., 0, :], inf[..., 0]),
-        "coord": (sx, sy, inf[..., 1]),
-        "com_aff": (cx, cy),
+        "T0_aff": (u8(x[..., 0, :]), u8(y[..., 0, :]), inf[..., 0]),
+        "coord": (u8(sx), u8(sy), inf[..., 1]),
+        "com_aff": (u8(cx), u8(cy)),
     }
 
 # one compiled program per batch shape (see batch.py::_phase_fns)

@@ -1,0 +1,41 @@
+"""Persistent-compilation-cache setup shared by the test suite, bench
+harness, and tools.
+
+One non-obvious hazard, found the hard way (VERDICT r3 weak #1 and again
+in round 4): JAX's cache writer compresses serialized executables with
+the ``zstandard`` C extension when it is importable
+(jax/_src/compilation_cache.py compress_executable), and that extension
+segfaults deterministically on the multi-hundred-MB executables our
+dp-sharded phase programs produce - reproduced solo, twice, on two
+different tests.  ``zlib`` handles the same buffers fine (slower
+compression, irrelevant next to multi-minute compiles), so
+:func:`enable_persistent_cache` forces the zlib fallback by clearing the
+module's ``zstandard`` handle before any cache write.
+
+Old zstd-compressed entries in an existing cache dir simply miss (JAX
+swallows cache read errors unless ``jax_raise_persistent_cache_errors``
+is set - jax/_src/compiler.py) and are rewritten in zlib on the next
+compile.
+"""
+
+from __future__ import annotations
+
+__all__ = ["enable_persistent_cache"]
+
+
+def enable_persistent_cache(path: str, min_compile_secs: float = 0.5) -> None:
+    """Point JAX's persistent compilation cache at ``path`` with the
+    zstd-segfault workaround (see module docstring).  The directory must
+    have a SINGLE process using it at a time: entries are not written
+    atomically, and two concurrent JAX processes sharing a dir (two
+    pytest runs, or pytest + bench.py) can corrupt each other's reads."""
+    import jax
+    from jax._src import compilation_cache as _cc
+
+    _cc.zstandard = None  # force the zlib path (zstd segfaults, see above)
+    if getattr(_cc, "zstd", None) is not None:  # Python 3.14+ stdlib zstd
+        _cc.zstd = None
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+    )
