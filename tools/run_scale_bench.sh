@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 run() {
   local name="$1"; shift
   echo "=== $name : $* ==="
-  /usr/bin/time -v "$@" > "/tmp/scale_$name.out" 2>&1
+  "$@" > "/tmp/scale_$name.out" 2>&1
   echo "rc=$?"
   grep -v WARNING "/tmp/scale_$name.out" | tail -25
 }

@@ -469,7 +469,12 @@ class BatchProver:
         the GIL), and the persistent compilation cache turns the later
         traced call into a cache load - so a cold process pays
         max(phase compile) wall instead of the sum (VERDICT r3 item 6:
-        411 s sequential warm-up on chip)."""
+        411 s sequential warm-up on chip).
+
+        CAVEAT: on the tunneled single-chip dev backend, concurrent
+        compile RPCs hang (observed round 4) - use this on real
+        multi-controller TPU hosts; bench.py gates it behind
+        BENCH_WARMUP=1."""
         import concurrent.futures
 
         import jax.numpy as _jnp

@@ -173,11 +173,14 @@ def _batched_msm_identity(
     if N == 0:
         return np.zeros(0, dtype=bool)
     tmax = max((len(p) for p, _ in rows), default=1)
-    # pad term lanes to a multiple of 128, not a power of two: the Straus
-    # cost (gather + first tree-reduce level + table build) scales with T,
-    # and e.g. ring-1024 proofs accumulate ~600 terms - padding those to
-    # 1024 lanes would waste ~40% of the MSM work
-    T = max(32, -(-tmax // 128) * 128)
+    # pad term lanes to a power of two.  A tighter multiple-of-128
+    # rounding was tried (ring-1024 rows carry ~600 terms, so 640 lanes
+    # beat 1024 by ~40% of the Straus work) and REVERTED: tmax depends on
+    # the batch's challenge bits, so fine-grained T made consecutive
+    # batches land on different T buckets and pay a fresh multi-minute
+    # MSM compile each - shape stability beats lane tightness here
+    # (round-4 chip run: verify.msm 4.5 s -> 72.5 s from one recompile).
+    T = 1 << max(5, (tmax - 1).bit_length())
     ident = group.identity()
     pts: list[Point] = []
     scs: list[int] = []
