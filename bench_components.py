@@ -81,8 +81,9 @@ def main() -> None:
     for g, ops in ((p256, p256_ops), (tomEdwards256, tom_ops)):
         G = g.generator()
         pts = [G.mul(g.new_scalar(k + 2)) for k in range(64)]
-        P = jnp.asarray(ops.pack_points((pts * ((B // 64) + 1))[:B]))
-        Q = jnp.asarray(np.roll(np.asarray(P), 7, axis=0))
+        packed = ops.pack_points((pts * ((B // 64) + 1))[:B])
+        P = jnp.asarray(packed)
+        Q = jnp.asarray(np.roll(packed, 7, axis=0))  # host roll, no device round-trip
         _, dt = timeit(lambda: jax.block_until_ready(ops.add(P, Q)), 20)
         row(f"{g.name}/ec/add (batched)", dt * 1e9 / B)
         _, dt = timeit(lambda: jax.block_until_ready(ops.dbl(P)), 20)

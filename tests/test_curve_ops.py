@@ -231,3 +231,35 @@ def test_double_mul_comb_matches_host():
     )
     for pt, x, y in zip(got, a, b):
         assert pt.eq(P.mul(g.new_scalar(x)).add(Q.mul(g.new_scalar(y))))
+
+
+def test_double_mul_comb_mixed_matches_host():
+    """The mixed-add comb path (affine table entries with precomputed
+    d*T2 / a*X2 / X2+Y2 - EdwardsOps.comb_table_mixed/add_mixed) must be
+    point-identical to the standard comb path and to host arithmetic,
+    including the scalar-0 (identity table entry) and order-1 edges."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from zkecdsa_tpu.curves import tomEdwards256 as g
+    from zkecdsa_tpu.ops.curve_ops import byte_digits, tom_ops
+
+    rs = np.random.RandomState(10)
+    P = g.generator().mul(g.new_scalar(777))
+    Q = g.generator().mul(g.new_scalar(31337))
+    cp = tom_ops.comb_table_mixed(jnp.asarray(tom_ops.pack_points([P]))[0])
+    cq = tom_ops.comb_table_mixed(jnp.asarray(tom_ops.pack_points([Q]))[0])
+    assert cp.shape[-2] == tom_ops.MIXED_NC
+    a = [int.from_bytes(rs.bytes(32), "big") % g.order for _ in range(3)]
+    a += [0, g.order - 1]
+    b = [int.from_bytes(rs.bytes(32), "big") % g.order for _ in range(3)]
+    b += [1, 0]
+    got = tom_ops.unpack_points(
+        np.asarray(
+            tom_ops.double_mul_comb_mixed(
+                cp, jnp.asarray(byte_digits(a)), cq, jnp.asarray(byte_digits(b))
+            )
+        )
+    )
+    for pt, x, y in zip(got, a, b):
+        assert pt.eq(P.mul(g.new_scalar(x)).add(Q.mul(g.new_scalar(y))))

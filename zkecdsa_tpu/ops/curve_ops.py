@@ -101,6 +101,13 @@ class CurveOps:
         self.to_affine = jax.jit(self.to_affine)
         self.eq = jax.jit(self.eq)
         self.is_identity = jax.jit(self.is_identity)
+        # mixed-add comb path (Edwards subclasses only)
+        for name in (
+            "comb_table_mixed", "add_mixed",
+            "mul_comb_mixed", "double_mul_comb_mixed",
+        ):
+            if hasattr(self, name):
+                setattr(self, name, jax.jit(getattr(self, name)))
 
     # -- subclass interface -------------------------------------------------
     def add(self, P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
@@ -705,6 +712,96 @@ class EdwardsOps(CurveOps):
             TEdwardsPoint(self.group, x, y, t, z)
             for x, y, t, z in zip(xs, ys, ts, zs)
         ]
+
+    # -- mixed-addition comb path (Edwards only) ---------------------------
+    #
+    # A comb table base is STATIC, so its entries can be stored affine
+    # (Z2 = 1) with the per-entry products d*T2 and a*X2 and the sum
+    # X2 + Y2 precomputed: the unified add then costs 9 field muls
+    # instead of 11 (C = T1 * (d*T2) needs no d mul, D = Z1 needs no
+    # Z mul, H = B - X1*(a*X2) needs no a mul).  ~18% off every comb
+    # window step - the prover's Pedersen commit stacks are the single
+    # largest device stage (BASELINE.md round-4 breakdown).
+
+    MIXED_NC = 5  # rows: X2, Y2, X2+Y2, d*T2, a*X2
+
+    def comb_table_mixed(self, P: jnp.ndarray) -> jnp.ndarray:
+        """[D, 256, 5, L] mixed-add comb table: the extended comb entries
+        converted to affine in ONE batch inversion, plus the precomputed
+        add_mixed rows.  The d=0 entries are the affine identity (0, 1)
+        (extended identity has Z=1, so the batch inversion is benign) and
+        add_mixed degrades to a projective rescale on them - completeness
+        is preserved."""
+        f = self.f
+        ext = self.comb_table(P)  # [D, 256, 4, L]
+        D, nb = ext.shape[0], ext.shape[1]
+        x, y, _ = self.to_affine(ext.reshape(D * nb, 4, f.nlimbs))
+        t = f.mul(x, y)
+        rows = jnp.stack(
+            [
+                x, y, f.add(x, y),
+                f.mul(jnp.asarray(self.d), t),
+                f.mul(jnp.asarray(self.a), x),
+            ],
+            axis=-2,
+        )
+        return rows.reshape(D, nb, self.MIXED_NC, f.nlimbs)
+
+    def add_mixed(self, P: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
+        """P (extended [..., 4, L]) + T (mixed table rows [..., 5, L]):
+        the Z2=1 unified add with precomputed d*T2 / a*X2 / X2+Y2."""
+        f = self.f
+        x1, y1, t1, z1 = (P[..., i, :] for i in range(4))
+        tx, ty, txy, tdt, tax = (T[..., i, :] for i in range(5))
+        A = f.mul(x1, tx)
+        B = f.mul(y1, ty)
+        C = f.mul(t1, tdt)
+        E = f.sub(f.sub(f.mul(f.add(x1, y1), txy), A), B)
+        F = f.sub(z1, C)
+        G = f.add(z1, C)
+        H = f.sub(B, f.mul(x1, tax))
+        return jnp.stack(
+            [f.mul(E, F), f.mul(G, H), f.mul(E, H), f.mul(F, G)], axis=-2
+        )
+
+    def mul_comb_mixed(self, comb: jnp.ndarray, d8: jnp.ndarray) -> jnp.ndarray:
+        """Fixed-base multiply from a MIXED comb table [D, 256, 5, L]
+        (or several bases' tables concatenated along D); same scan shape
+        as :meth:`CurveOps.mul_comb`, add_mixed instead of add."""
+        D = comb.shape[0]
+        NC, L = comb.shape[-2], comb.shape[-1]
+        dcols = jnp.moveaxis(d8, -1, 0)  # [D, ...]
+        batch = d8.shape[:-1]
+        nb = comb.shape[1]
+        comb_flat = comb.reshape(D, nb, NC * L)
+
+        def step(acc, xs):
+            dj, tabj = xs
+            oh = (
+                dj[..., None]
+                == jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)[0]
+            ).astype(jnp.float32)
+            term = jnp.einsum(
+                "...k,km->...m", oh, tabj,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(batch + (NC, L))
+            return self.add_mixed(acc, term), None
+
+        acc, _ = jax.lax.scan(step, self.identity(batch), (dcols, comb_flat))
+        return acc
+
+    def double_mul_comb_mixed(
+        self,
+        comb_p: jnp.ndarray,
+        dP8: jnp.ndarray,
+        comb_q: jnp.ndarray,
+        dQ8: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """dP*P + dQ*Q for two static bases on the mixed comb path."""
+        return self.mul_comb_mixed(
+            jnp.concatenate([comb_p, comb_q], axis=0),
+            jnp.concatenate([dP8, dQ8], axis=-1),
+        )
 
 
 def _make_ops():

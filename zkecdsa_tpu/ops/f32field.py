@@ -201,9 +201,15 @@ class F32Field:
         buf = b"".join((v % p).to_bytes(nbytes, "little") for v in values)
         by = np.frombuffer(buf, dtype=np.uint8).reshape(len(values), nbytes)
         bits = np.unpackbits(by, axis=1, bitorder="little")[:, : BASE_BITS * L]
-        weights = (1 << np.arange(BASE_BITS, dtype=np.int64)).astype(np.float32)
+        # uint8 multiply-sum, not a float BLAS matmul: the [n, L, 7] f32
+        # contraction went through threaded BLAS, which collapses under
+        # host load (measured 0.8 s quiet -> 15 s while the test suite
+        # runs); the integer path is ~2x faster quiet and load-stable
+        w = (1 << np.arange(BASE_BITS, dtype=np.uint8))
         return (
-            bits.reshape(len(values), L, BASE_BITS).astype(np.float32) @ weights
+            (bits.reshape(len(values), L, BASE_BITS) * w)
+            .sum(axis=2, dtype=np.int16)
+            .astype(np.float32)
         )
 
     def unpack(self, arr, mont: bool = True) -> list[int]:

@@ -102,13 +102,15 @@ class DeviceParams:
         self.tab_G = self._host_table(p256_ops, p256.generator())
         self.tab_h_nist = self._host_table(p256_ops, params.nist_group.h)
         # Comb tables for the static Pedersen bases (built ON DEVICE from
-        # one packed point; ~5 MB each): the commit stacks then run with
-        # zero doublings - see CurveOps.comb_table.
+        # one packed point; ~5-6 MB each): the commit stacks then run with
+        # zero doublings - see CurveOps.comb_table.  The Tom tables use
+        # the MIXED-add layout (affine entries + precomputed d*T2/a*X2:
+        # 9 muls per window add instead of 11, EdwardsOps.comb_table_mixed).
         self.comb_g_tom = np.asarray(
-            tom_ops.comb_table(jnp.asarray(self.tab_g_tom[1]))
+            tom_ops.comb_table_mixed(jnp.asarray(self.tab_g_tom[1]))
         )
         self.comb_h_tom = np.asarray(
-            tom_ops.comb_table(jnp.asarray(self.tab_h_tom[1]))
+            tom_ops.comb_table_mixed(jnp.asarray(self.tab_h_tom[1]))
         )
         self.comb_h_nist = np.asarray(
             p256_ops.comb_table(jnp.asarray(self.tab_h_nist[1]))
@@ -151,7 +153,7 @@ class DeviceParams:
         canonical fast path."""
         dv = (_bytes_host if v_canon else _bytes_dev)(TOM_N, v_std)
         dr = (_bytes_host if r_canon else _bytes_dev)(TOM_N, r_std)
-        return tom_ops.double_mul_comb(
+        return tom_ops.double_mul_comb_mixed(
             jnp.asarray(self.comb_g_tom), dv, jnp.asarray(self.comb_h_tom), dr
         )
 
@@ -264,7 +266,7 @@ def phase_a(tabs, pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
         ],
         axis=1,
     )
-    allC = tom_ops.double_mul_comb(
+    allC = tom_ops.double_mul_comb_mixed(
         tabs["g_t8"], dv8, tabs["h_t8"], _bytes_host(fo, blinds)
     )  # [N, 162, 4, L]
     pkC = allC[:, :2]
@@ -333,7 +335,7 @@ def phase_b(tabs, tab_R, Q, TxC, TyC, pkX, pkY, Tx_v, pkx_v, pky_v,
     # remaining slots are host-packed - the whole stack is canonical
     fills = [t1x, t1y, ints_std[1], ints_std[3], ints_std[4], ints_std[6]]
     com_vals = com_vals.at[..., :6, :].set(jnp.stack(fills, axis=-2))
-    commits = tom_ops.double_mul_comb(
+    commits = tom_ops.double_mul_comb_mixed(
         tabs["g_t8"], _bytes_host(fo, com_vals),
         tabs["h_t8"], _bytes_host(fo, com_blinds),
     )  # [N, 80, K, 4, L]

@@ -124,7 +124,7 @@ def _gk_commit_device(comb_g, comb_h, v, r):
     """Batched Pedersen commits g*v + h*r on the comb fixed-base path,
     returned as canonical affine coordinates (for exact host unpacking).
     Replaces per-instance host double-mults (gk.ts:88-92)."""
-    C = tom_ops.double_mul_comb(
+    C = tom_ops.double_mul_comb_mixed(
         comb_g, fo.digits8_canonical(v), comb_h, fo.digits8_canonical(r)
     )
     x, y, _ = tom_ops.to_affine(C)

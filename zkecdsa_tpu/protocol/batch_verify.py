@@ -113,7 +113,7 @@ def vphase(tabs, R, z1d, md, bits, rb):
     # regression (the prover's TC commit was the other half).
     x, y = fw.canon(x), fw.canon(y)
     sx, sy = x[..., 1, :], y[..., 1, :]
-    com = tom_ops.double_mul_comb(
+    com = tom_ops.double_mul_comb_mixed(
         tabs["g_t8"], _bytes_host(TOM_N, jnp.stack([sx, sy], axis=-2)),
         tabs["h_t8"], _bytes_host(TOM_N, rb),
     )  # [N,S,2,4,L]
