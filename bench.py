@@ -7,9 +7,11 @@ prover+verifier - the stand-in for the reference TypeScript implementation
 (same algorithm class: sequential CPU bignum; the reference repo publishes
 no numbers and Node.js is not available here, see BASELINE.md).
 
-Env knobs: BENCH_BATCH (default 16), BENCH_RING (default 8),
-BENCH_HOST_REPS (default 1), BENCH_PROVE_ONLY=1 to skip the batched
-verifier (for quick runs while compile caches are cold).
+Env knobs: BENCH_BATCH (default 256), BENCH_RING (default 4096 - the
+BASELINE config-4 shape; the nightly number tracks the mission scale,
+VERDICT r3 weak #9), BENCH_HOST_REPS (default 1), BENCH_PROVE_ONLY=1 to
+skip the batched verifier (for quick runs while compile caches are cold),
+BENCH_WARMUP=1 for the concurrent AOT phase compile.
 """
 
 import json
@@ -42,8 +44,8 @@ def main() -> None:
         verify_signature_list,
     )
 
-    B = int(os.environ.get("BENCH_BATCH", "16"))
-    RING = int(os.environ.get("BENCH_RING", "8"))
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    RING = int(os.environ.get("BENCH_RING", "4096"))
     HOST_REPS = int(os.environ.get("BENCH_HOST_REPS", "1"))
     PROVE_ONLY = os.environ.get("BENCH_PROVE_ONLY", "") == "1"
 

@@ -133,14 +133,14 @@ def main() -> None:
     cfn = jax.jit(lambda v, r: dp.commit_tom(v, r, v_canon=True))
     _, dt = timeit(lambda: jax.block_until_ready(cfn(vals, blinds)), 5)
     row("pedersen/commit (batched device)", dt * 1e9 / B)
-    _, dt = timeit(lambda: pp.commit(g.new_scalar(12345)), 10)
+    _, dt = timeit(lambda: pp.commit(12345), 10)
     row("pedersen/commit (host scalar)", dt * 1e9)
 
     # ---- GK membership by ring size (gk.bench.ts:31-47) ----
     for R in rings:
         keys = [3 + 2 * i for i in range(R)]
         with rng.deterministic(5):
-            com = pp.commit(g.new_scalar(keys[1]))
+            com = pp.commit(keys[1])
             gkp, dt = timeit(
                 lambda: prove_membership(pp, com, 1, keys), 1
             )
