@@ -43,31 +43,33 @@ def enable_persistent_cache(path: str, min_compile_secs: float = 0.5) -> None:
 
 
 def _guard_multidevice_writes(_cc) -> None:
-    """Skip cache writes for multi-device CPU executables.
+    """Take multi-device CPU programs entirely OUT of the persistent
+    cache machinery.
 
-    Round-4 finding (suite segfaults at 45% twice): the crash is in
-    ``executable.serialize()`` inside put_executable_and_time - jaxlib
-    segfaults serializing the giant dp-sharded CPU executables of the
-    virtual-mesh tests, independent of which compressor runs afterwards
-    (the round-3 zstd diagnosis was one frame short; a mid-process
-    ``jax_enable_compilation_cache=False`` config flip does not stop the
-    writer either, which is why the per-test fixture never fixed it).
-    Multi-device CPU programs are test-only here and recompile in
-    minutes; losing their cache entries costs far less than a dead
-    suite.  Real-chip (non-cpu) executables keep caching regardless of
-    device count."""
-    orig = _cc.put_executable_and_time
+    Round-4 findings (three suite crashes at the same test, each one
+    layer deeper): (1) the zstd compressor is not the root cause -
+    forcing zlib still crashed; (2) ``executable.serialize()`` in the
+    cache writer segfaults on the dp-sharded CPU executables, so writes
+    were guarded - and the suite STILL aborted, now inside
+    ``backend_compile_and_load`` itself: with caching engaged,
+    ``_resolve_compilation_strategy`` returns serialization-compatible
+    compile options, and XLA:CPU aborts compiling the big 2-device
+    programs under those options (solo run, 118 GB free - not OOM).
+    The configuration that has always been green for this test is the
+    cache-disabled compile path (round-3 verification), so that is what
+    multi-device CPU programs get: ``cache_key=None`` -> plain compile,
+    no altered options, no lookup, no write.  They are test-only
+    programs; single-device and real-chip executables keep caching."""
+    from jax._src import compiler as _compiler
+
+    orig = _compiler._resolve_compilation_strategy
     if getattr(orig, "_zkecdsa_guard", False):
         return
 
-    def guarded(cache_key, module_name, executable, backend, compile_time):
-        try:
-            multi = len(executable.local_devices()) > 1
-        except Exception:
-            multi = False
-        if multi and getattr(backend, "platform", "") == "cpu":
-            return
-        return orig(cache_key, module_name, executable, backend, compile_time)
+    def resolve(computation, devices, compile_options, backend, *a, **k):
+        if getattr(backend, "platform", "") == "cpu" and devices.size > 1:
+            return None, compile_options
+        return orig(computation, devices, compile_options, backend, *a, **k)
 
-    guarded._zkecdsa_guard = True
-    _cc.put_executable_and_time = guarded
+    resolve._zkecdsa_guard = True
+    _compiler._resolve_compilation_strategy = resolve
