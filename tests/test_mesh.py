@@ -171,10 +171,37 @@ def test_sharded_pipeline_bit_exact(params):
     byte-identical to the unsharded batched prover under the same tapes,
     and the sharded verifier must accept them (and reject a tamper).
 
-    Runs WITH the persistent cache on purpose: caching this test's
-    dp-sharded executables used to segfault JAX's zstd cache writer, and
-    the suite-wide zlib fallback (utils/cache.enable_persistent_cache)
-    must keep it green - this test is the regression gate for that."""
+    Runs in a FRESH SUBPROCESS: XLA:CPU crashes compiling this test's
+    giant dp-sharded executables late in a long pytest process -
+    reproduced solo through three successive workarounds (zstd->zlib,
+    cache-write guard, full cache bypass; each moved the crash one frame,
+    ending at a segfault inside plain ``backend_compile_and_load``) -
+    while fresh processes (this test alone, dryrun_multichip, the
+    config-5 rehearsal) compile the same programs reliably.  Process
+    isolation is the only workaround that holds; the cache-layer guards
+    in utils/cache.py remain because they fix real crashes of their own."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("ZKECDSA_SHARDED_SUBPROC") != "1":
+        env = dict(os.environ, ZKECDSA_SHARDED_SUBPROC="1")
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "pytest", "-q", "-x",
+                "-p", "no:cacheprovider",
+                __file__ + "::test_sharded_pipeline_bit_exact",
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3000,
+        )
+        assert r.returncode == 0, (
+            f"sharded-pipeline subprocess failed rc={r.returncode}\n"
+            + r.stdout[-3000:] + r.stderr[-2000:]
+        )
+        return
     mesh = make_mesh(2)
     with rng.deterministic(99):
         ring = []
