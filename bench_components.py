@@ -222,7 +222,7 @@ def main() -> None:
     # ---- bignum host (big.bench.ts:22-26) ----
     from zkecdsa_tpu.curves.instances import war256
 
-    _, dt = timeit(lambda: big.is_prime(war256.modulus), 5)
+    _, dt = timeit(lambda: big.is_prime(war256.p), 5)
     row("big/isPrime (war256 modulus)", dt * 1e9)
 
 
