@@ -181,15 +181,27 @@ def _batched_msm_identity(
     # MSM compile each - shape stability beats lane tightness here
     # (round-4 chip run: verify.msm 4.5 s -> 72.5 s from one recompile).
     T = 1 << max(5, (tmax - 1).bit_length())
-    ident = group.identity()
-    pts: list[Point] = []
+    # pack only the REAL points; padding lanes (~40% at T=1024) are all
+    # the identity, filled from one precomputed packed row instead of
+    # going through pack_points per point (the per-point host pack was a
+    # visible slice of the verify.msm stage at N=256)
+    real: list[Point] = []
     scs: list[int] = []
     for p, s in rows:
-        pts.extend(p)
-        pts.extend([ident] * (T - len(p)))
+        real.extend(p)
         scs.extend(s)
         scs.extend([0] * (T - len(s)))
-    arr = jnp.asarray(ops.pack_points(pts)).reshape(N, T, ops.NCOORD, ops.f.nlimbs)
+    arr_np = np.broadcast_to(
+        ops.pack_points([group.identity()])[0],
+        (N * T, ops.NCOORD, ops.f.nlimbs),
+    ).copy()
+    if real:
+        packed_real = ops.pack_points(real)
+        pos = np.concatenate(
+            [np.arange(len(p)) + i * T for i, (p, _) in enumerate(rows)]
+        ).astype(np.int64)
+        arr_np[pos] = packed_real
+    arr = jnp.asarray(arr_np).reshape(N, T, ops.NCOORD, ops.f.nlimbs)
     min_t = get_config().pippenger_min_t
     use_pip = bool(min_t) and T >= min_t
     point_row = T * ops.NCOORD * ops.f.nlimbs * 4
