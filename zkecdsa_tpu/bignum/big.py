@@ -172,6 +172,71 @@ def rnd_range(lo: int, hi: int) -> int:
     return rnd(hi - lo + 1) + lo
 
 
+def rnd_many(moduli, source=None) -> list[int]:
+    """Draw ``rnd(m)`` for each modulus in one pass, consuming EXACTLY the
+    byte stream the sequential :func:`rnd` loop would (so deterministic
+    tapes replay bit-identically) while paying one ``random_bytes`` call
+    and a vectorized accept check instead of ~2,000 per-draw Python
+    round-trips per prover instance (the batched prover's tape fill was
+    a 4.7% stage at N=256, BASELINE.md).
+
+    The optimistic path assumes no rejection: for the two production
+    moduli (the P-256 order and the Tom-256 order, both within 2^-32 of
+    a power of 256) a draw rejects with probability < 2^-32, checked
+    vectorized over the whole tape.  On any rejection the source is
+    rewound (deterministic sources expose state()/restore()) and the
+    exact sequential loop replays; sources without snapshots fall back
+    to sequential draws for the remainder (fresh entropy, no replay
+    contract to honor)."""
+    import numpy as np
+
+    src = source if source is not None else rng.get_source()
+    moduli = list(moduli)
+    if not moduli:
+        return []
+    widths = [byte_len(m) for m in moduli]
+    k = widths[0]
+    if k < 8 or any(w != k for w in widths):
+        # mixed or tiny widths: no vectorized layout; sequential
+        with rng.scoped(src):
+            return [rnd(m) for m in moduli]
+    snap_fn = getattr(src, "state", None)
+    snap = snap_fn() if snap_fn is not None else None
+    buf = src.random_bytes(k * len(moduli))
+    rows = np.frombuffer(buf, np.uint8).reshape(len(moduli), k)
+    # quick vectorized accept: value < m is certain when the leading
+    # 4 bytes are strictly below m's leading 4 bytes (both production
+    # moduli continue 0x00000001/0x00000000 after 0xFFFFFFFF, so
+    # equality is ~2^-32 per draw); candidates get the exact check
+    heads = rows[:, :4].astype(np.uint32)
+    head_val = (
+        (heads[:, 0] << 24) | (heads[:, 1] << 16)
+        | (heads[:, 2] << 8) | heads[:, 3]
+    )
+    mheads = np.array(
+        [(m >> (8 * (k - 4))) & 0xFFFFFFFF for m in moduli], np.uint32
+    )
+    exact = np.nonzero(head_val >= mheads)[0]
+    rejected = any(
+        int.from_bytes(rows[i].tobytes(), "big") >= moduli[i] for i in exact
+    )
+    if not rejected:
+        return [int.from_bytes(r.tobytes(), "big") for r in rows]
+    if snap is not None:
+        src.restore(snap)
+        with rng.scoped(src):
+            return [rnd(m) for m in moduli]
+    # non-replayable source: keep the accepted prefix, redraw the rest
+    out = []
+    for i, m in enumerate(moduli):
+        v = int.from_bytes(rows[i].tobytes(), "big")
+        if v >= m:
+            with rng.scoped(src):
+                return out + [rnd(mm) for mm in moduli[i:]]
+        out.append(v)
+    return out
+
+
 def is_prime(n: int, iterations: int = 7) -> bool:
     """Miller-Rabin with random bases (big.ts:187-228)."""
     if n in (2, 3):

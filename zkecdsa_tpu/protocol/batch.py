@@ -233,6 +233,15 @@ def phase_a(tabs, pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
     )
     cq = p256_ops.double_mul_tables(tp, dP, tabs["h_n"], dQ)
     comS1, Q = cq[:, 0], cq[:, 1]
+    # D = Q - comS1 + com_r*h_n: the per-instance constant of the
+    # even-round relation T1 = z*R + Q = alpha*R - s1*R + Q
+    #                        = T - (comS1 - com_r*h_n) + Q = T + D,
+    # which lets phase B replace its [N, E] 64-step windowed T1 scan
+    # with ONE point add per even round (exp.ts:190-193 algebra; the
+    # group element is identical, and the affine pass canonicalizes the
+    # projective representative, so the wire bytes are unchanged).
+    Hc = p256_ops.mul_comb(tabs["h_n8"], _bytes_host(fn, com_r))
+    D = p256_ops.add(p256_ops.add(Q, p256_ops.neg(comS1)), Hc)
     # 80 rounds: T_i = alpha_i * R (dynamic base: windowed scan) and
     # Hr_i = r_i * h (STATIC base: comb path, zero doublings - exp.ts:144-150)
     T = p256_ops.scalar_mul_table(
@@ -276,7 +285,7 @@ def phase_a(tabs, pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
     # digits are < 128), 4x less device->host transfer than f32
     u8 = lambda v: v.astype(jnp.uint8)  # noqa: E731
     return {
-        "Q": Q, "tab_R": tab_R, "TC": TC, "pkC": pkC,
+        "T": T, "D": D, "TC": TC, "pkC": pkC,
         "small_aff": (u8(small_x), u8(small_y)),  # [N, 3(R,Q,comS1), L]
         "TA_aff": (u8(ta_x), u8(ta_y)),  # [N, 80, 2(T,A), L]
         "T_v": (Tx_v, Ty_v),
@@ -287,12 +296,12 @@ def phase_a(tabs, pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
         ),  # [N, 80, 2, L]
     }
 
-def phase_b(tabs, tab_R, Q, TxC, TyC, pkX, pkY, Tx_v, pkx_v, pky_v,
-            z, com_vals, com_blinds, eidx):
-    """com_vals/com_blinds: [N, E, K, L] stacked Pedersen inputs in the
-    _BSTACK slot order; values at slots 0/1 (t1x/t1y) are placeholders
-    overwritten here once T1 is known.  One commit call, one stacked
-    C4/A42 multiply, one stacked affine conversion.
+def phase_b(tabs, T, D, TxC, TyC, pkX, pkY, Tx_v, pkx_v, pky_v, pky_r,
+            txr_e, com_vals, com_blinds, eidx):
+    """com_vals/com_blinds: [N, E, BK, L] stacked Pedersen inputs in the
+    _SLOT order; values at slots 0/1 (t1x/t1y) are placeholders
+    overwritten here once T1 is known.  One commit call (commit stack +
+    the C4/A42 rows, see below), one stacked affine conversion.
 
     E <= 80 is the compacted EVEN-round axis: only even-challenge-bit
     rounds carry a point-add sub-proof (exp.ts:184-225), and the host
@@ -300,20 +309,33 @@ def phase_b(tabs, tab_R, Q, TxC, TyC, pkX, pkY, Tx_v, pkx_v, pky_v,
     arrive pre-compacted ([N, E] instead of [N, 80], E = per-batch max
     even count quantized to {48, 56, 64, 80} to bound recompiles) and
     ``eidx`` [N, E] selects each instance's even rounds from the
-    phase-A round-axis outputs (TxC/TyC/Tx_v).  Padding rows (eidx
+    phase-A round-axis outputs (TxC/TyC/Tx_v/T).  Padding rows (eidx
     repeats the last even round) compute garbage that is never
-    unpacked.  This cuts ~2.4x of the commit stack, the C4/A42
-    windowed muls, the affine pass, and the device->host transfer."""
+    unpacked.  This cuts ~2.4x of the commit stack, the affine pass,
+    and the device->host transfer.
+
+    NO dynamic-base windowed multiplies remain here (round-5 rework;
+    they were ~half the phase FLOPs):
+
+    * T1 = z*R + Q (exp.ts:190-193) is computed as T + D with the
+      per-instance D = Q - comS1 + com_r*h_n from phase A - one
+      complete point add per even round instead of a 64-step scan;
+    * the four mult sub-proofs' C4_j = x_j * Cy_j and A42_j =
+      kx_j * Cy_j (pointAdd.ts:145-156, mult.ts:105-115) expand the
+      Pedersen commitments: Cy_j = g*y_j + h*r_j, so
+      x * Cy = g*(x*y) + h*(x*r) - two field multiplies each, and the
+      points ride the fixed-base mixed comb path as 8 extra rows of
+      the SAME stacked commit call.  The group elements are identical
+      (commitment homomorphism over the Tom order), and the affine
+      pass canonicalizes representatives, so wire bytes are unchanged.
+    """
     def sel_rounds(arr):
         idx = eidx.reshape(eidx.shape + (1,) * (arr.ndim - 2))
         return jnp.take_along_axis(arr, idx, axis=1)
 
-    TxC, TyC, Tx_v = (sel_rounds(a) for a in (TxC, TyC, Tx_v))
-    # T1 = z*R + Q  (exp.ts:190-193) on the compacted even rounds
-    T1 = p256_ops.add(
-        p256_ops.scalar_mul_table(tab_R[:, None], _digits_host(fn, z)),
-        Q[:, None],
-    )
+    TxC, TyC, Tx_v, T_e = (sel_rounds(a) for a in (TxC, TyC, Tx_v, T))
+    # T1 = T + D on the compacted even rounds (see docstring)
+    T1 = p256_ops.add(T_e, D[:, None])
     t1x, t1y, _ = nist_affine_std(T1)
     # chord-rule intermediates over the Tom order (pointAdd.ts:119-136)
     # P := T1 (x1), Q := pk (x2), R := T (x3)
@@ -327,54 +349,60 @@ def phase_b(tabs, tab_R, Q, TxC, TyC, pkX, pkY, Tx_v, pkx_v, pky_v,
     i11 = fo.mul(i10, i10)
     i12 = fo.sub(t1x_m, txv_m)
     i13 = fo.mul(i10, i12)
-    # canon once: every downstream consumer (commit stack, C4/A42
-    # digit extraction, host unpack) then takes the canonical fast path
+    # canon once: every downstream consumer (commit stack, host unpack)
+    # then takes the canonical fast path
     ints_std = [fo.canon(v) for v in (i7, i8, i9, i10, i11, i12, i13)]
+    # the four mult sub-proofs' scalar expansions (see docstring):
+    # Cy_j commits y_j = [i8, i9, i10, i12] with blindings
+    # rb_j = [c8_r, pky_r - t1y_r, c10_r, t1x_r - txr]; the multiplier
+    # x_j = [i7, i8, i10, i10] for C4, the nonce kx_j for A42.
+    ys = [i8, i9, i10, i12]
+    xs = [i7, i8, i10, i10]
+    rb = [
+        com_blinds[..., 2, :],                                  # c8_r
+        fo.sub(pky_r[:, None], com_blinds[..., 1, :]),          # C9.r
+        com_blinds[..., 3, :],                                  # c10_r
+        fo.sub(com_blinds[..., 0, :], txr_e),                   # C12.r
+    ]
+    kx = com_vals[..., 6:10, :]
+    ext_vals = fo.canon(jnp.stack(
+        [fo.mul(x, y) for x, y in zip(xs, ys)]
+        + [fo.mul(kx[..., j, :], ys[j]) for j in range(4)],
+        axis=-2,
+    ))  # [N, E, 8, L]
+    ext_blinds = fo.canon(jnp.stack(
+        [fo.mul(x, r) for x, r in zip(xs, rb)]
+        + [fo.mul(kx[..., j, :], rb[j]) for j in range(4)],
+        axis=-2,
+    ))
     # fill computed values into the commit stack (slots 0..5); t1x/t1y
     # are canonical from nist_affine_std, ints_std from the canon above,
     # remaining slots are host-packed - the whole stack is canonical
     fills = [t1x, t1y, ints_std[1], ints_std[3], ints_std[4], ints_std[6]]
     com_vals = com_vals.at[..., :6, :].set(jnp.stack(fills, axis=-2))
     commits = tom_ops.double_mul_comb_mixed(
-        tabs["g_t8"], _bytes_host(fo, com_vals),
-        tabs["h_t8"], _bytes_host(fo, com_blinds),
-    )  # [N, 80, K, 4, L]
+        tabs["g_t8"],
+        _bytes_host(fo, jnp.concatenate([com_vals, ext_vals], axis=-2)),
+        tabs["h_t8"],
+        _bytes_host(fo, jnp.concatenate([com_blinds, ext_blinds], axis=-2)),
+    )  # [N, E, BK+8, 4, L]: slots 26..29 = C4_j, 30..33 = A42_j
     T1xC = commits[..., 0, :, :]
     T1yC = commits[..., 1, :, :]
-    # homomorphic difference commitments (pointAdd.ts:137-143)
-    C9 = tom_ops.add(pkY[:, None], tom_ops.neg(T1yC))
-    C12 = tom_ops.add(T1xC, tom_ops.neg(TxC))
-    # four product sub-proofs (pointAdd.ts:145-156): per sub-proof j,
-    # C4_j = x_j * Cy_j and A42_j = kx_j * Cy_j, stacked into one
-    # table + two multiplies over a [N, 80, 4] sub-batch.
-    cys = jnp.stack(
-        [commits[..., 2, :, :], C9, commits[..., 3, :, :], C12], axis=-3
-    )  # [N, 80, 4, 4, L]
-    xs = jnp.stack(
-        [ints_std[0], ints_std[1], ints_std[3], ints_std[3]], axis=-2
-    )  # [N, 80, 4, L]
-    tab_cy = tom_ops.table(cys)  # [N, 80, 4, 16, 4, L]
-    kx = com_vals[..., 6:10, :]
-    # C4s (device-computed x values -> canonicalizing digits) and A42s
-    # (host-packed nonces -> fast digits) share tab_cy: one stacked
-    # windowed mul [N, 80, 2, 4] instead of two scans
-    d2 = jnp.stack(
-        [_digits_host(fo, xs), _digits_host(fo, kx)], axis=2
-    )  # [N, 80, 2, 4, 64] (xs rows are canonical ints_std entries)
-    ca = tom_ops.scalar_mul_table(tab_cy[:, :, None], d2)
-    C4s, A42s = ca[:, :, 0], ca[:, :, 1]
-    # the verifier-recomputed homomorphic combinations (pointAdd.ts:124-138
-    # C7/C9/C12, :134/:138 the two equality statements) - computed HERE so
-    # the host Fiat-Shamir never does EC arithmetic (the former per-round
+    # homomorphic difference commitments (pointAdd.ts:137-143); the
+    # verifier-recomputed combinations (pointAdd.ts:124-138 C7/C9/C12,
+    # :134/:138 the two equality statements) are computed HERE so the
+    # host Fiat-Shamir never does EC arithmetic (the former per-round
     # Commitment.sub/add chains were an O(N*80) host tail, VERDICT r3
     # weak #3); only their affine bytes feed the sub-proof hashes
+    C9 = tom_ops.add(pkY[:, None], tom_ops.neg(T1yC))
+    C12 = tom_ops.add(T1xC, tom_ops.neg(TxC))
     C7 = tom_ops.add(pkX[:, None], tom_ops.neg(T1xC))
     cintX = tom_ops.add(tom_ops.add(TxC, T1xC), pkX[:, None])
     cintY = tom_ops.add(TyC, T1yC)
     combos = jnp.stack([C7, C9, C12, cintX, cintY], axis=-3)
     # one affine conversion for every Tom point produced here
-    tom_stack = jnp.concatenate([commits, C4s, A42s, combos], axis=-3)
-    sx, sy = tom_affine_std(tom_stack)  # [N, E, K+13, L]
+    tom_stack = jnp.concatenate([commits, combos], axis=-3)
+    sx, sy = tom_affine_std(tom_stack)  # [N, E, NSLOT, L]
     u8 = lambda v: v.astype(jnp.uint8)  # noqa: E731 (see phase_a)
     return {
         "tom_aff": (u8(sx), u8(sy)),
@@ -437,6 +465,11 @@ class _Tape:
         with rng.scoped(self.source):
             return big.rnd(n)
 
+    def rnd_many(self, moduli) -> list[int]:
+        """Bulk draws, byte-stream-identical to sequential ``rnd`` calls
+        (big.rnd_many)."""
+        return big.rnd_many(moduli, self.source)
+
 
 # ---------------------------------------------------------------------------
 # the batched prover
@@ -464,14 +497,16 @@ class BatchProver:
         self.tabs = replicate(mesh, self.dev.tabs())
         self.phase_a, self.phase_b = _phase_fns(self.dev)
 
-    def warmup(self, n: int, e: int = 56) -> None:
-        """Compile the prove-phase programs for batch size ``n`` (and
-        even-round capacity ``e``) CONCURRENTLY: ``jax.jit(...).lower()``
+    def warmup(self, n: int, e: int | tuple = (56, 64)) -> None:
+        """Compile the prove-phase programs for batch size ``n`` (and each
+        even-round capacity in ``e``) CONCURRENTLY: ``jax.jit(...).lower()``
         + ``.compile()`` run per-phase on threads (XLA compilation drops
         the GIL), and the persistent compilation cache turns the later
         traced call into a cache load - so a cold process pays
         max(phase compile) wall instead of the sum (VERDICT r3 item 6:
-        411 s sequential warm-up on chip).
+        411 s sequential warm-up on chip).  The ShapeDtypeStructs carry
+        the mesh shardings (advisor r4: unsharded specs under a dp mesh
+        compiled programs the sharded prove path never uses).
 
         CAVEAT: on the tunneled single-chip dev backend, concurrent
         compile RPCs hang (observed round 4) - use this on real
@@ -483,30 +518,44 @@ class BatchProver:
 
         L = fn.nlimbs
         f32 = _jnp.float32
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        def z(*shape):
-            return jax.ShapeDtypeStruct(shape + (L,), f32)
+            batch_sh = NamedSharding(mesh, P("dp"))
+        else:
+            batch_sh = None
+
+        def z(*shape, dtype=f32, limbs=True):
+            if limbs:
+                shape = shape + (L,)
+            if batch_sh is not None:
+                return jax.ShapeDtypeStruct(shape, dtype, sharding=batch_sh)
+            return jax.ShapeDtypeStruct(shape, dtype)
 
         tabs = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.tabs
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
+            if batch_sh is not None
+            else jax.ShapeDtypeStruct(a.shape, a.dtype),
+            self.tabs,
         )
         a_args = (
             tabs, z(n, 3),
             z(n), z(n), z(n), z(n), z(n), z(n), z(n), z(n), z(n),  # 9 scalars
             z(n, SECPARAM), z(n, SECPARAM), z(n, SECPARAM), z(n, SECPARAM),
         )
-        b_args = (
-            tabs, z(n, 16, 3), z(n, 3), z(n, SECPARAM, 4),
-            z(n, SECPARAM, 4), z(n, 4), z(n, 4), z(n, SECPARAM), z(n),
-            z(n), z(n, e), z(n, e, BK), z(n, e, BK),
-            jax.ShapeDtypeStruct((n, e), _jnp.int32),
-        )
-        with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        jobs = [(self.phase_a, a_args)]
+        for ev in (e if isinstance(e, (tuple, list)) else (e,)):
+            jobs.append((self.phase_b, (
+                tabs, z(n, SECPARAM, 3), z(n, 3), z(n, SECPARAM, 4),
+                z(n, SECPARAM, 4), z(n, 4), z(n, 4), z(n, SECPARAM), z(n),
+                z(n), z(n), z(n, ev), z(n, ev, BK), z(n, ev, BK),
+                z(n, ev, dtype=_jnp.int32, limbs=False),
+            )))
+        with concurrent.futures.ThreadPoolExecutor(len(jobs)) as pool:
             futs = [
-                pool.submit(lambda fn_, ar: fn_.lower(*ar).compile(),
-                            self.phase_a, a_args),
-                pool.submit(lambda fn_, ar: fn_.lower(*ar).compile(),
-                            self.phase_b, b_args),
+                pool.submit(lambda fn_, ar: fn_.lower(*ar).compile(), f_, ar)
+                for f_, ar in jobs
             ]
             for f in futs:
                 f.result()
@@ -560,15 +609,18 @@ class BatchProver:
         r_rnd = [[0] * SECPARAM for _ in range(N)]
         txr = [[0] * SECPARAM for _ in range(N)]
         tyr = [[0] * SECPARAM for _ in range(N)]
+        # draw order per instance (must match the scalar prover exactly):
+        # com_r, pkx_r, pky_r, then 80x (alpha, r_rnd, txr, tyr)
+        moduli_a = [n_ord, t_ord, t_ord] + [n_ord, n_ord, t_ord, t_ord] * SECPARAM
         for i, tape in enumerate(tapes):
-            com_r.append(tape.rnd(n_ord))  # comS1 blinding
-            pkx_r.append(tape.rnd(t_ord))  # pkX blinding
-            pky_r.append(tape.rnd(t_ord))  # pkY blinding
-            for j in range(SECPARAM):  # exp.ts:144-156 per-round draws
-                alpha[i][j] = tape.rnd(n_ord)
-                r_rnd[i][j] = tape.rnd(n_ord)
-                txr[i][j] = tape.rnd(t_ord)
-                tyr[i][j] = tape.rnd(t_ord)
+            d = tape.rnd_many(moduli_a)
+            com_r.append(d[0])
+            pkx_r.append(d[1])
+            pky_r.append(d[2])
+            for j in range(SECPARAM):
+                alpha[i][j], r_rnd[i][j], txr[i][j], tyr[i][j] = d[
+                    3 + 4 * j : 7 + 4 * j
+                ]
         _tape_a.__exit__(None, None, None)
 
         from ..parallel.mesh import shard_batch
@@ -669,35 +721,40 @@ class BatchProver:
         even_mask = [[False] * SECPARAM for _ in range(N)]
         for i, tape in enumerate(tapes):
             ch = challenges[i]
+            ev = []
             for j in range(SECPARAM):
                 zvals[i][j] = (alpha[i][j] - s1s[i]) % n_ord
                 if not (ch & 1):
                     even_mask[i][j] = True
-                    # prove_exp even branch draws (exp.ts:195-200):
-                    tape_b["t1x_r"][i][j] = tape.rnd(t_ord)
-                    tape_b["t1y_r"][i][j] = tape.rnd(t_ord)
-                    # provePointAdd commits C8/C10/C11/C13 (pointAdd.ts:138-143)
-                    tape_b["c8_r"][i][j] = tape.rnd(t_ord)
-                    tape_b["c10_r"][i][j] = tape.rnd(t_ord)
-                    tape_b["c11_r"][i][j] = tape.rnd(t_ord)
-                    tape_b["c13_r"][i][j] = tape.rnd(t_ord)
-                    # sub-proofs in order pi8, pi10, pi11, pix, pi13, piy
-                    for order_idx, sub in enumerate(("m0", "m1", "m2", "e0", "m3", "e1")):
-                        if sub.startswith("m"):
-                            jj = {"m0": 0, "m1": 1, "m2": 2, "m3": 3}[sub]
-                            kx[i][j][jj] = tape.rnd(t_ord)
-                            ky[i][j][jj] = tape.rnd(t_ord)
-                            kz[i][j][jj] = tape.rnd(t_ord)
-                            axr[i][j][jj] = tape.rnd(t_ord)
-                            ayr[i][j][jj] = tape.rnd(t_ord)
-                            azr[i][j][jj] = tape.rnd(t_ord)
-                            a41r[i][j][jj] = tape.rnd(t_ord)
-                        else:
-                            jj = 0 if sub == "e0" else 1
-                            keq[i][j][jj] = tape.rnd(t_ord)
-                            a1r[i][j][jj] = tape.rnd(t_ord)
-                            a2r[i][j][jj] = tape.rnd(t_ord)
+                    ev.append(j)
                 ch >>= 1
+            # 40 Tom-order draws per even round, bulk-drawn then laid out
+            # in exactly the sequential order: the prove_exp even branch
+            # (exp.ts:195-200) t1x_r/t1y_r, the provePointAdd commits
+            # C8/C10/C11/C13 (pointAdd.ts:138-143), then the sub-proofs
+            # pi8, pi10, pi11, pix, pi13, piy (7 draws per mult proof,
+            # 3 per equality proof)
+            d = tape.rnd_many([t_ord] * (40 * len(ev)))
+            p = 0
+            for j in ev:
+                for nm in names_b:
+                    tape_b[nm][i][j] = d[p]
+                    p += 1
+                for sub in ("m0", "m1", "m2", "e0", "m3", "e1"):
+                    if sub.startswith("m"):
+                        jj = {"m0": 0, "m1": 1, "m2": 2, "m3": 3}[sub]
+                        (
+                            kx[i][j][jj], ky[i][j][jj], kz[i][j][jj],
+                            axr[i][j][jj], ayr[i][j][jj], azr[i][j][jj],
+                            a41r[i][j][jj],
+                        ) = d[p : p + 7]
+                        p += 7
+                    else:
+                        jj = 0 if sub == "e0" else 1
+                        keq[i][j][jj], a1r[i][j][jj], a2r[i][j][jj] = d[
+                            p : p + 3
+                        ]
+                        p += 3
         _tape_b.__exit__(None, None, None)
 
         # compacted even-round axis: only even-challenge rounds reach the
@@ -718,10 +775,10 @@ class BatchProver:
             eidx_np[i, len(r) :] = r[-1] if r else 0  # pad: repeat last
         # stacked commit inputs [N, E, BK, L] in _SLOT order (even rounds)
         vals_rows, blind_rows = [], []
-        z_even = []
+        txr_even = []
         for i in range(N):
             for j in eidx_np[i]:
-                z_even.append(zvals[i][j])
+                txr_even.append(txr[i][j])
                 vals_rows += [0] * 6  # device fills t1x,t1y,i8,i10,i11,i13
                 vals_rows += kx[i][j] + ky[i][j] + kz[i][j] + kz[i][j]
                 vals_rows += keq[i][j] + keq[i][j]
@@ -738,16 +795,41 @@ class BatchProver:
 
         with stage("phase_b.device"):
             b = self.phase_b(
-                self.tabs, a["tab_R"], a["Q"],
+                self.tabs, a["T"], a["D"],
                 a["TC"][..., 0, :, :], a["TC"][..., 1, :, :],
                 a["pkC"][..., 0, :, :], a["pkC"][..., 1, :, :],
                 jnp.asarray(a["T_v"][0]),
                 pack_o([c[0] for c in pk_coords]), pack_o([c[1] for c in pk_coords]),
-                shard_batch(mesh, _pk_scalars(fn, z_even).reshape(N, E, -1)),
+                pack_o(pky_r),
+                shard_batch(mesh, _pk_scalars(fo, txr_even).reshape(N, E, -1)),
                 com_vals, com_blinds,
                 shard_batch(mesh, jnp.asarray(eidx_np)),
             )
-            b = jax.block_until_ready(b)
+            # async dispatch: device->host copies are queued immediately
+            # (they run on the DMA engines behind the phase-B compute) and
+            # the GK membership stage below does its host prep + device
+            # dispatch while phase B computes and its outputs stream back
+            # - the ~45 MB uint8 transfer was a 13% serial stage at N=256
+            # through the dev tunnel (VERDICT r4 weak/next #2).
+            for leaf in jax.tree.leaves(b):
+                leaf.copy_to_host_async()
+
+        # ---- batched GK membership (device d-values; tape order per
+        # instance: after the exp draws, matching zkpAttestList.ts:141-142).
+        # Dispatched BEFORE the phase-B unpack so it overlaps the transfer.
+        from .batch_gk import batch_prove_membership
+
+        tsc = tomEdwards256.new_scalar
+        with stage("gk.prove"):
+            gk_proofs = batch_prove_membership(
+                params.proof_group,
+                [Commitment(pkX_pts[i], tsc(pkx_r[i])) for i in range(N)],
+                whichs,
+                keys,
+                [t.source for t in tapes],
+                mesh=mesh,
+                dev=self.dev,
+            )
 
         with stage("phase_b.unpack"):
             # The compacted [N, E] rows are valid for the first cnt[i]
@@ -805,23 +887,6 @@ class BatchProver:
         def tom_pt_at(i, j, slot):
             k = pos[i, j] * (BK + 8) + slot
             return _tom_pt(tom_x[k], tom_y[k])
-
-        tsc = tomEdwards256.new_scalar
-
-        # ---- batched GK membership (device d-values; tape order per
-        # instance: after the exp draws, matching zkpAttestList.ts:141-142)
-        from .batch_gk import batch_prove_membership
-
-        with stage("gk.prove"):
-            gk_proofs = batch_prove_membership(
-                params.proof_group,
-                [Commitment(pkX_pts[i], tsc(pkx_r[i])) for i in range(N)],
-                whichs,
-                keys,
-                [t.source for t in tapes],
-                mesh=mesh,
-                dev=self.dev,
-            )
 
         # ---- assemble exp proofs per instance/round ----
         _asm = stage("assembly")

@@ -43,7 +43,7 @@ from ..exp.exp import generate_indices, padded_bits
 from ..exp.pointAdd import aggregate_point_add
 from ..ops.curve_ops import TABLE, nibble_digits, p256_ops, tom_ops, war_ops
 from ..ops.f32field import TOM_N
-from ..proofGK.gk import _pad
+from ..proofGK.gk import _pad, gk_statement_bind
 from ..zkp_attest_list import SignatureProofList, SystemParametersList, _truncate_to_n
 from .batch import (
     _bytes_host,
@@ -154,12 +154,27 @@ def _batched_msm_identity(
     group: Group,
     rows: list[tuple[list[Point], list[int]]],
     mesh=None,
+    t_static: int | None = None,
 ) -> np.ndarray:
     """One device dispatch (chunked only when live memory would blow the
     HBM budget): is Σ s_i P_i the identity, per row?  Rows are padded with
-    (identity, 0) to a shared power-of-two length.  With a ``mesh`` the
+    (identity, 0) to a shared static length.  With a ``mesh`` the
     row batch is dp-sharded (each device holds only its shard's rows, so
     the HBM budget scales by the dp size).
+
+    ``t_static``: a challenge-INDEPENDENT worst-case term bound computed
+    from the proof structure (ring size + verify rounds, see
+    :meth:`BatchVerifier._t_static`).  Production batches always land on
+    this one compiled shape - a tighter fit than the power-of-two ladder
+    (~25% fewer Straus lanes at ring 2^12) with no recompile exposure,
+    honoring the round-4 shape-stability lesson: a tmax-derived
+    multiple-of-128 rounding made consecutive batches land on different
+    T buckets and pay a fresh multi-minute MSM compile each (chip run:
+    verify.msm 4.5 s -> 72.5 s).  Small batches (tmax <= t_static/2,
+    e.g. unit tests at tiny rings) keep the power-of-two ladder so they
+    don't compile worst-case-sized kernels; rows beyond the bound (only
+    possible past the ~P99.99 challenge tail) fall back to a
+    power-of-two dispatch for just the overflowing rows.
 
     Backend dispatch: the Straus shared-window kernel (``msm_shared``) by
     default; the bucket kernel (``msm_pippenger_rows``, no [T, 16] window
@@ -173,14 +188,22 @@ def _batched_msm_identity(
     if N == 0:
         return np.zeros(0, dtype=bool)
     tmax = max((len(p) for p, _ in rows), default=1)
-    # pad term lanes to a power of two.  A tighter multiple-of-128
-    # rounding was tried (ring-1024 rows carry ~600 terms, so 640 lanes
-    # beat 1024 by ~40% of the Straus work) and REVERTED: tmax depends on
-    # the batch's challenge bits, so fine-grained T made consecutive
-    # batches land on different T buckets and pay a fresh multi-minute
-    # MSM compile each - shape stability beats lane tightness here
-    # (round-4 chip run: verify.msm 4.5 s -> 72.5 s from one recompile).
-    T = 1 << max(5, (tmax - 1).bit_length())
+    if t_static is not None and tmax > t_static // 2:
+        T = t_static
+    else:
+        T = 1 << max(5, (tmax - 1).bit_length())
+    if tmax > T:  # t_static overflow: split off the oversized rows
+        over = [i for i, (p, _) in enumerate(rows) if len(p) > T]
+        fit = [
+            (p, s) if len(p) <= T else ([], []) for (p, s) in rows
+        ]
+        ok = _batched_msm_identity(group, fit, mesh=mesh, t_static=t_static)
+        ok_over = _batched_msm_identity(
+            group, [rows[i] for i in over]
+        )
+        for k, i in enumerate(over):
+            ok[i] = ok_over[k]
+        return ok
     # pack only the REAL points; padding lanes (~40% at T=1024) are all
     # the identity, filled from one precomputed packed row instead of
     # going through pack_points per point (the per-point host pack was a
@@ -387,7 +410,10 @@ class BatchVerifier:
                 ):
                     ok[i] = False
                     continue
-                gk_x[i] = hash_points(mp.cl + mp.ca + mp.cb + mp.cd)
+                gk_x[i] = gk_statement_bind(
+                    hash_points(mp.cl + mp.ca + mp.cb + mp.cd),
+                    proof.keyXcom, values_s,
+                )
             t_ord = pg.c.order
             f_ints = [
                 [proofs[i].membershipProof.f[j].k if ok[i] else 0 for j in range(n)]
@@ -458,9 +484,28 @@ class BatchVerifier:
 
         # ---- device MSMs (one dispatch per curve) ----
         with stage("verify.msm"):
-            ok_w = _batched_msm_identity(pg.c, rows_w, mesh=mesh)
-            ok_n = _batched_msm_identity(p256, rows_n, mesh=mesh)
+            t_w, t_n = self._t_static(n, S)
+            ok_w = _batched_msm_identity(pg.c, rows_w, mesh=mesh, t_static=t_w)
+            ok_n = _batched_msm_identity(p256, rows_n, mesh=mesh, t_static=t_n)
         return [bool(ok[i] and ok_w[i] and ok_n[i]) for i in range(N)]
+
+    @staticmethod
+    def _t_static(n: int, S: int) -> tuple[int, int]:
+        """Challenge-independent MSM term bounds per proof row, derived
+        from the aggregation structure (so every production batch lands on
+        ONE compiled MSM shape; see _batched_msm_identity).
+
+        Proof-group row (after MultiMult's identity merging): g + h +
+        keyXcom + GK (cl/ca/cb/cd per index bit = 4n) + per sampled exp
+        round either 2 (bit-1: Tx-, Ty-) or 37 (bit-0: the point-add
+        aggregation's distinct commitment/nonce points, pointAdd.ts:
+        199-259).  The bound covers up to S-1 bit-0 rounds (the all-zeros
+        challenge tail, ~2^-S per row, overflows to the fallback split).
+        NIST row: R + h_n + comS1 + 2 per round (T/T1 + A-)."""
+        t_w = 3 + 4 * n + 2 * S + 35 * max(S - 1, 0)
+        t_n = 3 + 2 * S
+        rnd8 = lambda v: -(-v // 8) * 8  # noqa: E731
+        return rnd8(t_w), rnd8(t_n)
 
     def _aggregate_exp(
         self, proof, i, multiW, multiN,

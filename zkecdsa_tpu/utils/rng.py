@@ -47,6 +47,8 @@ class DeterministicSource(RandomSource):
         self._buf = b""
 
     def random_bytes(self, n: int) -> bytes:
+        if n > 512:
+            return self._random_bytes_bulk(n)
         while len(self._buf) < n:
             block = hashlib.sha256(
                 self._key + self._counter.to_bytes(8, "big")
@@ -55,6 +57,37 @@ class DeterministicSource(RandomSource):
             self._buf += block
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
+
+    def _random_bytes_bulk(self, n: int) -> bytes:
+        """Same byte stream as the sequential path (block i =
+        SHA-256(key || counter_i)), generated with one threaded
+        ``sha256_rows`` batch instead of per-block hashlib calls plus
+        quadratic buffer appends - the batched prover's tape fill draws
+        ~64 KB per instance (see bignum.big.rnd_many)."""
+        import numpy as np
+
+        from ..runtime import native
+
+        blocks = -(-(n - len(self._buf)) // 32)
+        msgs = np.empty((blocks, 40), np.uint8)
+        msgs[:, :32] = np.frombuffer(self._key, np.uint8)
+        msgs[:, 32:] = (
+            np.arange(self._counter, self._counter + blocks, dtype=np.uint64)
+            .astype(">u8")
+            .view(np.uint8)
+            .reshape(blocks, 8)
+        )
+        self._counter += blocks
+        stream = self._buf + native.sha256_rows(msgs).tobytes()
+        out, self._buf = stream[:n], stream[n:]
+        return out
+
+    # exact-replay snapshots (rnd_many's rejection fallback)
+    def state(self) -> tuple:
+        return (self._counter, self._buf)
+
+    def restore(self, state: tuple) -> None:
+        self._counter, self._buf = state
 
 
 _source: RandomSource = RandomSource()
