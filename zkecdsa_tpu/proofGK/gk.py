@@ -71,6 +71,24 @@ def _pad(vals: list[int], c: Group) -> list[Scalar]:
     return ret
 
 
+def gk_statement_bind(x: int, com_pt: Point, values: list[Scalar]) -> int:
+    """Statement binding for the GK challenge (hardened mode).
+
+    The reference deliberately omits the statement from the challenge
+    (gk.ts:178 "TODO: hash in the statement as well"); the default keeps
+    that quirk for wire compatibility.  With ``Config.hardened_gk`` the
+    commitment point and the (padded) public ring values are folded into
+    the 80-bit challenge, so a proof binds to ONE statement.  Prover and
+    verifier both read the flag - hardened proofs verify only hardened."""
+    from ..utils.config import get_config
+
+    if not get_config().hardened_gk:
+        return x
+    coord = com_pt.to_affine()
+    cx, cy = (0, 0) if coord is None else coord
+    return big.hash_nums([x, cx, cy] + [v.k for v in values])
+
+
 def _commit(params: PedersenParams, val: int, blinder: int) -> Point:
     """g^val * h^blinder (gk.ts:88-92)."""
     order = params.c.order
@@ -125,8 +143,9 @@ def prove_membership(
     di = interpolate([int(w) for w in omegas], dv, order)
     cd = [_commit(params, di[i], rho[i]) for i in range(n)]
 
-    # Challenge omits the statement, matching gk.ts:178.
-    x = hash_points(cl + ca + cb + cd)
+    # Challenge omits the statement by default, matching gk.ts:178;
+    # Config.hardened_gk binds it (gk_statement_bind).
+    x = gk_statement_bind(hash_points(cl + ca + cb + cd), com.p, values)
 
     f = [c.new_scalar((eli[i] * x + ai[i]) % order) for i in range(n)]
     za = [c.new_scalar((ri[i] * x + si[i]) % order) for i in range(n)]
@@ -155,7 +174,9 @@ def verify_membership(
     ):
         return False
     f = proof.f
-    x = hash_points(proof.cl + proof.ca + proof.cb + proof.cd)
+    x = gk_statement_bind(
+        hash_points(proof.cl + proof.ca + proof.cb + proof.cd), com, vec
+    )
     multi.add_known(params.g)
     multi.add_known(params.h)
     one = c.new_scalar(1)

@@ -28,7 +28,7 @@ from ..commit.pedersen import Commitment, PedersenParams
 from ..curves.edwards import TEdwardsPoint
 from ..curves.group import hash_points
 from ..curves.instances import tomEdwards256
-from ..proofGK.gk import GKProof, _pad
+from ..proofGK.gk import GKProof, _pad, gk_statement_bind
 from ..proofGK.interpolate import interpolate
 from ..ops.f32field import TOM_N
 from ..ops.curve_ops import tom_ops
@@ -268,7 +268,7 @@ def batch_prove_membership(
             row = commit_pts[i]
             cl, ca = row[:n], row[n : 2 * n]
             cb, cd = row[2 * n : 3 * n], row[3 * n : 4 * n]
-            x = x_batch[i]
+            x = gk_statement_bind(x_batch[i], coms[i].p, values_s)
         else:
             from ..proofGK.gk import _commit
 
@@ -279,7 +279,9 @@ def batch_prove_membership(
                 for j in range(n)
             ]
             cd = [_commit(params, di[j], rho[i][j]) for j in range(n)]
-            x = hash_points(cl + ca + cb + cd)
+            x = gk_statement_bind(
+                hash_points(cl + ca + cb + cd), coms[i].p, values_s
+            )
         f = [c.new_scalar((eli[i][j] * x + ai[i][j]) % order) for j in range(n)]
         za = [c.new_scalar((ri[i][j] * x + si[i][j]) % order) for j in range(n)]
         zb = [
@@ -318,7 +320,10 @@ def batch_verify_membership(
             ok[i] = False
             xs.append(0)
         else:
-            xs.append(hash_points(proof.cl + proof.ca + proof.cb + proof.cd))
+            xs.append(gk_statement_bind(
+                hash_points(proof.cl + proof.ca + proof.cb + proof.cd),
+                coms[i], values_s,
+            ))
 
     vals_dev = jnp.asarray(fo.pack([v.k for v in values_s]))
     f_ints = [

@@ -16,6 +16,9 @@ documentation pretending to be code - advisor r1 / VERDICT r2 weak #8):
   of the Straus shared-window kernel (``protocol.batch_verify``); 0
   disables the bucket path.  Default set from the chip crossover
   measurement (tools/msm_crossover.py, BASELINE.md).
+* ``hardened_pedersen`` / ``hardened_gk`` - opt-in hardened security
+  modes (SURVEY section 7.5), read by ``commit.pedersen`` and the GK
+  prove/verify paths respectively; see the dataclass comments.
 
 Batch size and mesh shape are deliberately NOT config fields: the batch is
 the shape of the data handed to ``BatchProver.prove`` and the mesh is an
@@ -40,6 +43,18 @@ class Config:
     verify_rounds: int = 20  # top-level verifier spot-checks (":177")
     profile_dir: str | None = None  # jax.profiler trace output
     pippenger_min_t: int = 0  # MSM bucket-kernel threshold (0 = never)
+    # Hardened security modes (SURVEY section 7.5; both default OFF for
+    # wire compatibility with the reference's flagged-insecure choices):
+    # * hardened_pedersen - derive the Pedersen base h by deterministic
+    #   try-and-increment hash-to-curve instead of h = r*g with known
+    #   dlog (answers pedersen.ts:62 "todo(correctness): we must generate
+    #   h without using scalar mult").
+    # * hardened_gk - bind the GK one-out-of-many challenge to the
+    #   statement (the commitment + the public ring values), answering
+    #   gk.ts:178 "TODO: hash in the statement as well".  Proofs made
+    #   with the flag verify only with the flag (both sides read it).
+    hardened_pedersen: int = 0
+    hardened_gk: int = 0
 
     @classmethod
     def from_env(cls) -> "Config":
