@@ -18,6 +18,22 @@ else
   echo "ruff not installed; skipping lint (baked-in env has no linter)"
 fi
 
+echo "== security static analysis (reference parity: node.yml:32-50/semgrep.yml)"
+python tools/seccheck.py
+if command -v bandit >/dev/null 2>&1; then
+  bandit -q -r zkecdsa_tpu -ll
+else
+  echo "bandit not installed; AST gate above is the in-env scanner"
+fi
+
+echo "== native runtime builds from source (packaging gate)"
+python setup.py -q build_ext --inplace >/dev/null
+python - <<'PYEOF'
+from zkecdsa_tpu.runtime import native
+assert native.available(), "libzkruntime failed to build/load"
+print("native runtime ok")
+PYEOF
+
 echo "== e2e walkthrough (host scalar path)"
 PYTHONPATH=. timeout 600 python examples/usage.py >/dev/null
 

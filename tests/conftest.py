@@ -62,7 +62,11 @@ def pytest_configure(config):
     # VERDICT r3 weak #1, reproduced again in round 4 at a second test).
     from zkecdsa_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache("/root/repo/.jax_cache_cpu")
+    # ZKECDSA_CACHE_DIR: subprocess-isolated tests point themselves at a
+    # dedicated directory (the default dir is single-process-only)
+    enable_persistent_cache(
+        os.environ.get("ZKECDSA_CACHE_DIR", "/root/repo/.jax_cache_cpu")
+    )
 
     devs = jax.devices()
     assert devs[0].platform == "cpu" and len(devs) == 8, (

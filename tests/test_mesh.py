@@ -185,7 +185,15 @@ def test_sharded_pipeline_bit_exact(params):
     import sys
 
     if os.environ.get("ZKECDSA_SHARDED_SUBPROC") != "1":
-        env = dict(os.environ, ZKECDSA_SHARDED_SUBPROC="1")
+        # dedicated cache dir: utils/cache.py documents the parent's dir
+        # as single-process-only; the parent blocks during run() today,
+        # but pytest-xdist-style parallel invocations would reintroduce
+        # the corruption window (advisor r4)
+        env = dict(
+            os.environ,
+            ZKECDSA_SHARDED_SUBPROC="1",
+            ZKECDSA_CACHE_DIR="/root/repo/.jax_cache_cpu_subproc",
+        )
         r = subprocess.run(
             [
                 sys.executable, "-m", "pytest", "-q", "-x",

@@ -8,7 +8,9 @@ batch.  Candidate gathers:
 
 * f32   - current: one-hot f32 einsum (materializes [rows, 256] f32)
 * bf16  - one-hot + table cast to bf16, f32 accumulation (exact: one-hot
-          is 0/1, digits < 128 are exact in bf16; halves one-hot traffic,
+          is 0/1, and bf16 represents integers up to 256 exactly - the
+          device-built comb-table digits reach 255, measured; asserted
+          below before the bf16 variant runs.  Halves one-hot traffic,
           bf16 MXU passes are 4-6x f32)
 * wsum  - fused where-sum over the 256 entries (no one-hot in HBM, but
           256x the VPU elementwise work)
@@ -48,6 +50,8 @@ def main() -> None:
     with rng.deterministic(3):
         base = g.generator().mul(g.new_scalar(12345))
     comb = np.asarray(ops.comb_table(jnp.asarray(ops.pack_points([base])[0])))
+    # bf16 exactness bound for the variant below: integers <= 256 only
+    assert comb.max() <= 256, comb.max()
     D = comb.shape[0]
     scal = [int.from_bytes(rs.bytes(32), "big") % g.order for _ in range(rows)]
     d8 = jnp.asarray(byte_digits(scal).astype(np.int32))  # [rows, 32]

@@ -60,9 +60,31 @@ def _guard_multidevice_writes(_cc) -> None:
     multi-device CPU programs get: ``cache_key=None`` -> plain compile,
     no altered options, no lookup, no write.  They are test-only
     programs; single-device and real-chip executables keep caching."""
-    from jax._src import compiler as _compiler
+    import inspect
+    import logging
 
-    orig = _compiler._resolve_compilation_strategy
+    import jax
+
+    # The patch targets jax._src internals (verified against jax 0.9.x);
+    # a JAX upgrade can rename the hook or change its contract silently.
+    # Fail LOUDLY into the always-safe configuration (no persistent
+    # cache) rather than running with a half-applied guard (advisor r4).
+    try:
+        from jax._src import compiler as _compiler
+
+        orig = _compiler._resolve_compilation_strategy
+        params = list(inspect.signature(orig).parameters)
+        assert params[:4] == [
+            "computation", "devices", "compile_options", "backend"
+        ], params
+    except Exception as exc:  # pragma: no cover - only on a JAX upgrade
+        logging.getLogger(__name__).error(
+            "zkecdsa_tpu cache guard: jax internals changed (%r on jax %s); "
+            "disabling the persistent compilation cache entirely",
+            exc, jax.__version__,
+        )
+        jax.config.update("jax_enable_compilation_cache", False)
+        return
     if getattr(orig, "_zkecdsa_guard", False):
         return
 
