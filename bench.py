@@ -124,22 +124,34 @@ def main() -> None:
 
         timer = StageTimer()
 
-    t0 = time.perf_counter()
-    tapes = [rng.DeterministicSource(20_000 + i) for i in range(B)]
-    proofs = prover.prove(msgs, sigs, pubs, whichs, ring, tapes, timer=timer)
-    t_prove = time.perf_counter() - t0
-    print(f"# batched prove: {t_prove:.2f} s for {B} proofs", file=sys.stderr)
-    t_verify = 0.0
-    if verifier is not None:
+    # timed reps: the headline is the MEDIAN of >= 2 measured reps, so the
+    # committed number is what the driver reproduces rather than the best
+    # observed run (~10% run-to-run swing through the dev tunnel,
+    # VERDICT r4 weak #2)
+    REPS = max(2, int(os.environ.get("BENCH_REPS", "2")))
+    walls = []
+    for rep in range(REPS):
         t0 = time.perf_counter()
-        ok = verifier.verify(msgs, ring, proofs, timer=timer)
-        t_verify = time.perf_counter() - t0
-        assert all(ok), f"batched verify failed: {ok}"
-        print(f"# batched verify: {t_verify:.2f} s for {B} proofs", file=sys.stderr)
+        tapes = [rng.DeterministicSource(20_000 + 1000 * rep + i) for i in range(B)]
+        proofs = prover.prove(msgs, sigs, pubs, whichs, ring, tapes, timer=timer)
+        t_prove = time.perf_counter() - t0
+        print(f"# batched prove: {t_prove:.2f} s for {B} proofs", file=sys.stderr)
+        t_verify = 0.0
+        if verifier is not None:
+            t0 = time.perf_counter()
+            ok = verifier.verify(msgs, ring, proofs, timer=timer)
+            t_verify = time.perf_counter() - t0
+            assert all(ok), f"batched verify failed: {ok}"
+            print(f"# batched verify: {t_verify:.2f} s for {B} proofs", file=sys.stderr)
+        walls.append(t_prove + t_verify)
     if timer is not None:
         print(timer.report(), file=sys.stderr)
+    walls.sort()
+    median_wall = walls[len(walls) // 2] if REPS % 2 else (
+        walls[REPS // 2 - 1] + walls[REPS // 2]
+    ) / 2
 
-    throughput = B / (t_prove + t_verify)
+    throughput = B / median_wall
     print(
         json.dumps(
             {
