@@ -125,3 +125,42 @@ def test_batched_verify_mixed_batch():
         proofs[0].expProof = saved_exp[:10]
         assert bv.verify(msgs, ring, proofs) == [False, True]
         proofs[0].expProof = saved_exp
+
+
+@pytest.mark.slow
+def test_combined_msm_path_and_fallback(monkeypatch):
+    """The hierarchical combined identity check (batch_verify.
+    _combined_msm_identity): with _COMB_W shrunk the small test batch
+    crosses the 4*W threshold, so the honest case runs the combined
+    fixed-block MSM and the tampered case exercises the per-row
+    attribution fallback - verdicts must match the per-row path."""
+    from zkecdsa_tpu.protocol import batch_verify as bvmod
+    from zkecdsa_tpu.protocol.batch_verify import BatchVerifier
+
+    with rng.deterministic(13):
+        params = generate_params_list()
+        msgs, proofs, ring, kps, pubs = [], [], [], [], []
+        for i in range(2):
+            kp = ecdsa.generate_keypair()
+            pub = ecdsa.export_public_raw(kp)
+            kps.append(kp)
+            pubs.append(pub)
+            ring.append(ecdsa.key_to_int(pub))
+        ring += [31, 32]
+        for i in range(2):
+            msg = f"comb {i}".encode()
+            mh = hashlib.sha256(msg).digest()
+            msgs.append(mh)
+            proofs.append(
+                prove_signature_list(
+                    params, mh, ecdsa.sign(kps[i], msg), pubs[i], i, ring
+                )
+            )
+        monkeypatch.setattr(bvmod, "_COMB_W", 64)
+        bv = BatchVerifier(params)
+        assert bv.verify(msgs, ring, proofs) == [True, True]
+        # tamper -> combined check fails -> per-row attribution
+        saved = proofs[1].membershipProof.f[0]
+        proofs[1].membershipProof.f[0] = proofs[1].membershipProof.f[1]
+        assert bv.verify(msgs, ring, proofs) == [True, False]
+        proofs[1].membershipProof.f[0] = saved

@@ -78,7 +78,7 @@ class TEdwards(Group):
 class TEdwardsPoint(Point):
     """Extended-coordinate point (X : Y : T : Z); identity is (0:1:0:1)."""
 
-    __slots__ = ("group", "x", "y", "t", "z")
+    __slots__ = ("group", "x", "y", "_t", "z")
 
     def __init__(
         self, group: TEdwards, x: int, y: int, t: Optional[int] = None, z: int = 1
@@ -86,8 +86,22 @@ class TEdwardsPoint(Point):
         self.group = group
         self.x = x
         self.y = y
-        self.t = (x * y % group.p) if t is None else t
+        self._t = t  # lazy: see the ``t`` property
         self.z = z
+
+    @property
+    def t(self) -> int:
+        """Extended coordinate T = X*Y/Z, computed on first use: the
+        batched prover constructs ~34 proof points per even round whose T
+        is never touched (serde writes affine x/y only) - eagerly paying
+        a 256-bit multiply each was a measurable assembly-stage slice."""
+        if self._t is None:
+            self._t = self.x * self.y % self.group.p
+        return self._t
+
+    @t.setter
+    def t(self, value: int) -> None:
+        self._t = value
 
     def __repr__(self) -> str:
         return f"TEdwardsPoint({self.group.name}, 0x{self.x:x}, 0x{self.y:x})"

@@ -90,7 +90,9 @@ class CurveOps:
         self.double_mul = jax.jit(self.double_mul)
         self.sum_reduce = jax.jit(self.sum_reduce, static_argnames=("axis",))
         self.comb_table = jax.jit(self.comb_table)
+        self.comb4_table = jax.jit(self.comb4_table)
         self.mul_comb = jax.jit(self.mul_comb)
+        self.mul_comb4 = jax.jit(self.mul_comb4)
         self.double_mul_comb = jax.jit(self.double_mul_comb)
         self.msm = jax.jit(self.msm)
         self.msm_ladder = jax.jit(self.msm_ladder)
@@ -179,6 +181,59 @@ class CurveOps:
         """P * s with s given as MSB-first 4-bit digits [..., D]
         (group.ts:133-152 windowing, batched)."""
         return self.scalar_mul_table(self.table(P), digits)
+
+    # -- per-point 4-bit comb (dynamic base, many scalars) -----------------
+    #
+    # When MANY scalars multiply the SAME dynamic base (the prover's 80
+    # exp rounds T_i = alpha_i * R share one R per instance), the 4-bit
+    # window scan pays 256 doublings per SCALAR lane.  A per-base comb
+    # table T4[j][d] = d * 16^(63-j) * B costs ~252 doublings + ~960 adds
+    # ONCE per base, after which each multiply is 64 gather-adds and zero
+    # doublings: ~3.5x fewer point ops at 80 scalars per base.
+
+    def comb4_table(self, P: jnp.ndarray) -> jnp.ndarray:
+        """[..., 64, 16, C, L]: entry [j][d] = d * 16^(63-j) * P
+        (position axis MSB-first, matching ``F32Field.digits4``)."""
+
+        def dbl4(p, _):
+            for _ in range(4):
+                p = self.dbl(p)
+            return p, p
+
+        _, rest = jax.lax.scan(dbl4, P, None, length=NDIGITS_256 - 1)
+        rest = jnp.moveaxis(rest, 0, -3)  # [..., 63, C, L]
+        bases = jnp.concatenate([P[..., None, :, :], rest], axis=-3)
+        bases = jnp.flip(bases, axis=-3)  # MSB-first positions
+        tab = jnp.stack(
+            [self.identity(bases.shape[:-2]), bases], axis=-3
+        )  # [..., 64, 2, C, L]
+        while tab.shape[-3] < TABLE:
+            k = tab.shape[-3]
+            mk = self.dbl(tab[..., k // 2, :, :]) if k > 1 else bases
+            tab = jnp.concatenate(
+                [tab, self.add(tab, mk[..., None, :, :])], axis=-3
+            )
+        return tab
+
+    def mul_comb4(self, tab: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+        """Multiply from a :meth:`comb4_table`: tab [..., 64, 16, C, L],
+        digits [..., B, 64] MSB-first nibbles -> [..., B, C, L].  64
+        gather-adds per scalar, zero doublings; the table's batch dims
+        broadcast against the scalar batch B."""
+        batch = jnp.broadcast_shapes(
+            tab.shape[:-4] + (1,), digits.shape[:-1]
+        )
+
+        def step(acc, xs):
+            tab_j, d_j = xs  # [..., 16, C, L], [..., B]
+            return self.add(acc, self._gather(tab_j[..., None, :, :, :], d_j)), None
+
+        acc, _ = jax.lax.scan(
+            step,
+            self.identity(batch),
+            (jnp.moveaxis(tab, -4, 0), jnp.moveaxis(digits, -1, 0)),
+        )
+        return acc
 
     def double_mul_tables(
         self,

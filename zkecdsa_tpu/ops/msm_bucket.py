@@ -129,7 +129,10 @@ def _bucket_body_jit(ops_id: int, window: int):
         return ops.sum_reduce(P, axis=axis)
 
     def one_row(points, chunk_idx, bucket_chunks):
-        # points [T, C, L]; chunk_idx [D, R, M]; bucket_chunks [D, B, K]
+        # points [T, C, L]; chunk_idx [D, R, M]; bucket_chunks [D, B, K].
+        # uint8-shipped canonical digits cast up on device (see
+        # protocol/batch_verify: 4x less tunnel transfer)
+        points = points.astype(jnp.float32)
         pts_pad = jnp.concatenate([points, ops.identity((1,))], axis=0)
 
         def window_step(_, xs):

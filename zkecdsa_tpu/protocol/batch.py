@@ -212,6 +212,13 @@ def phase_a(tabs, pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
     # Every window-mul scan body costs ~6k HLO ops, so same-shape
     # device calls are merged into stacked batches: 13 scans -> 6
     # (VERDICT r2 weak #4, compile-time pathology).
+    # Host-packed scalars arrive uint8 (see _pk_scalars); cast on device.
+    (u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r, alpha, r_rnd,
+     txr, tyr) = (
+        v.astype(jnp.float32)
+        for v in (u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
+                  alpha, r_rnd, txr, tyr)
+    )
     N = pk.shape[0]
     L = fn.nlimbs
     # R = u1*G + u2*PK  (zkpAttestList.ts:125-131)
@@ -242,10 +249,12 @@ def phase_a(tabs, pk, u1, u2, z1, s1, com_r, pkx_v, pkx_r, pky_v, pky_r,
     # projective representative, so the wire bytes are unchanged).
     Hc = p256_ops.mul_comb(tabs["h_n8"], _bytes_host(fn, com_r))
     D = p256_ops.add(p256_ops.add(Q, p256_ops.neg(comS1)), Hc)
-    # 80 rounds: T_i = alpha_i * R (dynamic base: windowed scan) and
+    # 80 rounds: T_i = alpha_i * R via a per-instance 4-bit comb table
+    # (one ~252-dbl/960-add build amortized over the 80 scalars sharing
+    # R - zero doublings per round; CurveOps.comb4_table) and
     # Hr_i = r_i * h (STATIC base: comb path, zero doublings - exp.ts:144-150)
-    T = p256_ops.scalar_mul_table(
-        tab_R[:, None], _digits_host(fn, alpha)
+    T = p256_ops.mul_comb4(
+        p256_ops.comb4_table(R), _digits_host(fn, alpha)
     )  # [N, 80, 3, L]
     Hr = p256_ops.mul_comb(tabs["h_n8"], _bytes_host(fn, r_rnd))
     A = p256_ops.add(T, Hr)
@@ -329,6 +338,12 @@ def phase_b(tabs, T, D, TxC, TyC, pkX, pkY, Tx_v, pkx_v, pky_v, pky_r,
       (commitment homomorphism over the Tom order), and the affine
       pass canonicalizes representatives, so wire bytes are unchanged.
     """
+    # uint8-shipped host-packed inputs cast up on device (_pk_scalars)
+    pkx_v, pky_v, pky_r, txr_e, com_vals, com_blinds = (
+        v.astype(jnp.float32)
+        for v in (pkx_v, pky_v, pky_r, txr_e, com_vals, com_blinds)
+    )
+
     def sel_rounds(arr):
         idx = eidx.reshape(eidx.shape + (1,) * (arr.ndim - 2))
         return jnp.take_along_axis(arr, idx, axis=1)
@@ -438,7 +453,11 @@ NSLOT = BK + 13  # commit stack + C4s + A42s + 5 combos
 # ---------------------------------------------------------------------------
 
 def _pk_scalars(ctx, ints) -> jnp.ndarray:
-    return jnp.asarray(ctx.pack(ints, mont=False))
+    """Host-packed canonical digits shipped as uint8 (digits < 128): 4x
+    less host->device transfer than f32 through the dev tunnel (the
+    phase-B commit stacks alone are ~120 MB/batch at N=256 as f32); the
+    phase programs cast to f32 on device."""
+    return jnp.asarray(ctx.pack(ints, mont=False).astype(np.uint8))
 
 
 def _tom_pt(x: int, y: int) -> TEdwardsPoint:
@@ -518,6 +537,7 @@ class BatchProver:
 
         L = fn.nlimbs
         f32 = _jnp.float32
+        u8 = _jnp.uint8  # host-packed scalars ship as uint8 (_pk_scalars)
         mesh = self.mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -526,7 +546,7 @@ class BatchProver:
         else:
             batch_sh = None
 
-        def z(*shape, dtype=f32, limbs=True):
+        def z(*shape, dtype=u8, limbs=True):
             if limbs:
                 shape = shape + (L,)
             if batch_sh is not None:
@@ -540,15 +560,19 @@ class BatchProver:
             self.tabs,
         )
         a_args = (
-            tabs, z(n, 3),
+            tabs, z(n, 3, dtype=f32),
             z(n), z(n), z(n), z(n), z(n), z(n), z(n), z(n), z(n),  # 9 scalars
             z(n, SECPARAM), z(n, SECPARAM), z(n, SECPARAM), z(n, SECPARAM),
         )
         jobs = [(self.phase_a, a_args)]
         for ev in (e if isinstance(e, (tuple, list)) else (e,)):
             jobs.append((self.phase_b, (
-                tabs, z(n, SECPARAM, 3), z(n, 3), z(n, SECPARAM, 4),
-                z(n, SECPARAM, 4), z(n, 4), z(n, 4), z(n, SECPARAM), z(n),
+                # T/D/TxC/TyC/pkX/pkY/Tx_v are f32 phase-A outputs; the
+                # host-packed operands ship uint8
+                tabs, z(n, SECPARAM, 3, dtype=f32), z(n, 3, dtype=f32),
+                z(n, SECPARAM, 4, dtype=f32), z(n, SECPARAM, 4, dtype=f32),
+                z(n, 4, dtype=f32), z(n, 4, dtype=f32),
+                z(n, SECPARAM, dtype=f32), z(n),
                 z(n), z(n), z(n, ev), z(n, ev, BK), z(n, ev, BK),
                 z(n, ev, dtype=_jnp.int32, limbs=False),
             )))
@@ -820,16 +844,16 @@ class BatchProver:
         from .batch_gk import batch_prove_membership
 
         tsc = tomEdwards256.new_scalar
-        with stage("gk.prove"):
-            gk_proofs = batch_prove_membership(
-                params.proof_group,
-                [Commitment(pkX_pts[i], tsc(pkx_r[i])) for i in range(N)],
-                whichs,
-                keys,
-                [t.source for t in tapes],
-                mesh=mesh,
-                dev=self.dev,
-            )
+        gk_proofs = batch_prove_membership(
+            params.proof_group,
+            [Commitment(pkX_pts[i], tsc(pkx_r[i])) for i in range(N)],
+            whichs,
+            keys,
+            [t.source for t in tapes],
+            mesh=mesh,
+            dev=self.dev,
+            timer=timer,
+        )
 
         with stage("phase_b.unpack"):
             # The compacted [N, E] rows are valid for the first cnt[i]
@@ -891,6 +915,11 @@ class BatchProver:
         # ---- assemble exp proofs per instance/round ----
         _asm = stage("assembly")
         _asm.__enter__()
+        S_C4, S_Ax, S_Ay, S_Az, S_A41, S_A42 = (
+            _SLOT["C4"], _SLOT["Ax"], _SLOT["Ay"], _SLOT["Az"],
+            _SLOT["A41"], _SLOT["A42"],
+        )
+        S_A1, S_A2 = _SLOT["A1"], _SLOT["A2"]
         proofs = []
         for i in range(N):
             exp_proofs = []
@@ -935,32 +964,38 @@ class BatchProver:
                 C11r = tape_b["c11_r"][i][j]
                 C13r = tape_b["c13_r"][i][j]
 
+                # hoisted row locals: the nested list/dict chains were a
+                # visible slice of the assembly stage at N=256
+                kx_r, ky_r, kz_r = kx[i][j], ky[i][j], kz[i][j]
+                axr_r, ayr_r, azr_r = axr[i][j], ayr[i][j], azr[i][j]
+                a41r_r, keq_r = a41r[i][j], keq[i][j]
+                a1r_r, a2r_r = a1r[i][j], a2r[i][j]
+                base_k = pos[i, j] * (BK + 8)
+
+                def pt_at(slot, _b=base_k):
+                    k_ = _b + slot
+                    return _tom_pt(tom_x[k_], tom_y[k_])
+
                 def mk_mult(jj, c, x, y, zv, rx, ry, rz):
-                    C4p = tom_pt_at(i, j, _SLOT["C4"] + jj)
-                    A42p = tom_pt_at(i, j, _SLOT["A42"] + jj)
-                    Axp = tom_pt_at(i, j, _SLOT["Ax"] + jj)
-                    Ayp = tom_pt_at(i, j, _SLOT["Ay"] + jj)
-                    Azp = tom_pt_at(i, j, _SLOT["Az"] + jj)
-                    A41p = tom_pt_at(i, j, _SLOT["A41"] + jj)
                     r4 = ry * x  # Cy.r * x (mult.ts:105 auxiliary blinding)
                     return MultProof(
-                        C4p, Axp, Ayp, Azp, A41p, A42p,
-                        tsc(kx[i][j][jj] - c * x),
-                        tsc(ky[i][j][jj] - c * y),
-                        tsc(kz[i][j][jj] - c * zv),
-                        tsc(axr[i][j][jj] - c * rx),
-                        tsc(ayr[i][j][jj] - c * ry),
-                        tsc(azr[i][j][jj] - c * rz),
-                        tsc(a41r[i][j][jj] - c * r4),
+                        pt_at(S_C4 + jj), pt_at(S_Ax + jj), pt_at(S_Ay + jj),
+                        pt_at(S_Az + jj), pt_at(S_A41 + jj), pt_at(S_A42 + jj),
+                        tsc(kx_r[jj] - c * x),
+                        tsc(ky_r[jj] - c * y),
+                        tsc(kz_r[jj] - c * zv),
+                        tsc(axr_r[jj] - c * rx),
+                        tsc(ayr_r[jj] - c * ry),
+                        tsc(azr_r[jj] - c * rz),
+                        tsc(a41r_r[jj] - c * r4),
                     )
 
                 def mk_eq(jj, c, x, r1, r2):
                     return EqualityProof(
-                        tom_pt_at(i, j, _SLOT["A1"] + jj),
-                        tom_pt_at(i, j, _SLOT["A2"] + jj),
-                        tsc(keq[i][j][jj] - c * x),
-                        tsc(a1r[i][j][jj] - c * r1),
-                        tsc(a2r[i][j][jj] - c * r2),
+                        pt_at(S_A1 + jj), pt_at(S_A2 + jj),
+                        tsc(keq_r[jj] - c * x),
+                        tsc(a1r_r[jj] - c * r1),
+                        tsc(a2r_r[jj] - c * r2),
                     )
 
                 pi8 = mk_mult(0, c_pi8[k], i7, i8, 1, C7r, C8r, 0)

@@ -159,6 +159,7 @@ def batch_prove_membership(
     tapes: Sequence[rng.RandomSource],
     mesh=None,
     dev=None,
+    timer=None,
 ) -> list[GKProof]:
     """Batched prover, bit-identical to gk.prove_membership per tape.
     With a ``mesh``, the instance batch is dp-sharded and the ring value
@@ -166,6 +167,11 @@ def batch_prove_membership(
     over instances).  With ``dev`` (a ``protocol.batch.DeviceParams``),
     the 4n Pedersen commitments per instance run as ONE device comb-commit
     batch instead of 4n host double-mults each."""
+    import contextlib
+
+    stage = timer.stage if timer is not None else (
+        lambda _n: contextlib.nullcontext()
+    )
     c = params.c
     order = c.order
     N = len(coms)
@@ -178,14 +184,13 @@ def batch_prove_membership(
     si = [[0] * n for _ in range(N)]
     ti = [[0] * n for _ in range(N)]
     rho = [[0] * n for _ in range(N)]
-    for i, tape in enumerate(tapes):
-        with rng.scoped(tape):
+    with stage("gk.tape"):
+        for i, tape in enumerate(tapes):
+            d = big.rnd_many([order] * (5 * n), tape)
             for j in range(n):
-                ri[i][j] = big.rnd(order)
-                ai[i][j] = big.rnd(order)
-                si[i][j] = big.rnd(order)
-                ti[i][j] = big.rnd(order)
-                rho[i][j] = big.rnd(order)
+                (
+                    ri[i][j], ai[i][j], si[i][j], ti[i][j], rho[i][j],
+                ) = d[5 * j : 5 * j + 5]
     eli = [[(indices[i] >> j) & 1 for j in range(n)] for i in range(N)]
 
     # device d-values
@@ -196,25 +201,37 @@ def batch_prove_membership(
             sharded_gk_dvalues,
         )
 
-        vals_np = jnp.asarray(fo.pack([v.k for v in values_s]))
-        vidx_np = jnp.asarray(fo.pack([values_s[indices[i]].k for i in range(N)]))
-        ai_np = jnp.asarray(fo.pack([a for row in ai for a in row])).reshape(N, n, -1)
-        eli_np = jnp.asarray(np.array(eli, dtype=np.int32))
-        if _ring_sharded(mesh, RING):
-            # config-5 shape: ring elements sharded over the ``ring`` axis
-            # (optionally x dp over instances on a 2D mesh)
-            dp_ax = "dp" if "dp" in mesh.shape and N % mesh.shape["dp"] == 0 else None
-            dv = sharded_gk_dvalues(
-                mesh, eli_np, ai_np, vals_np, vidx_np, dp_axis=dp_ax
+        # NOTE: when called from BatchProver.prove, the async phase-B
+        # dispatch is still executing - gk.dvalues includes waiting out
+        # the device queue behind it (the overlap is the point)
+        with stage("gk.dvalues"):
+            vals_np = jnp.asarray(fo.pack([v.k for v in values_s]))
+            vidx_np = jnp.asarray(
+                fo.pack([values_s[indices[i]].k for i in range(N)])
             )
-        else:
-            dv = gk_dvalues_device(
-                shard_batch(mesh, eli_np),
-                shard_batch(mesh, ai_np),
-                replicate(mesh, vals_np),
-                shard_batch(mesh, vidx_np),
-            )
-        dv_ints = fo.unpack_canonical(dv)  # [N*n]
+            ai_np = jnp.asarray(
+                fo.pack([a for row in ai for a in row])
+            ).reshape(N, n, -1)
+            eli_np = jnp.asarray(np.array(eli, dtype=np.int32))
+            if _ring_sharded(mesh, RING):
+                # config-5 shape: ring elements sharded over the ``ring``
+                # axis (optionally x dp over instances on a 2D mesh)
+                dp_ax = (
+                    "dp"
+                    if "dp" in mesh.shape and N % mesh.shape["dp"] == 0
+                    else None
+                )
+                dv = sharded_gk_dvalues(
+                    mesh, eli_np, ai_np, vals_np, vidx_np, dp_axis=dp_ax
+                )
+            else:
+                dv = gk_dvalues_device(
+                    shard_batch(mesh, eli_np),
+                    shard_batch(mesh, ai_np),
+                    replicate(mesh, vals_np),
+                    shard_batch(mesh, vidx_np),
+                )
+            dv_ints = fo.unpack_canonical(dv)  # [N*n]
     else:
         dv_ints = []
 
@@ -229,28 +246,29 @@ def batch_prove_membership(
     # DeviceParams are available, host double-mults otherwise
     commit_pts: list[list] = [[] for _ in range(N)]
     if dev is not None and n > 0:
-        vals: list[int] = []
-        blinds: list[int] = []
-        for i in range(N):
-            vals += eli[i]
-            vals += ai[i]
-            vals += [eli[i][j] * ai[i][j] % order for j in range(n)]
-            vals += list(di_all[i])
-            blinds += ri[i] + si[i] + ti[i] + rho[i]
-        cx, cy = _gk_commit_device(
-            jnp.asarray(dev.comb_g_tom),
-            jnp.asarray(dev.comb_h_tom),
-            jnp.asarray(fo.pack([v % order for v in vals])),
-            jnp.asarray(fo.pack(blinds)),
-        )
-        xs = tom_ops.f.unpack_canonical(cx)
-        ys = tom_ops.f.unpack_canonical(cy)
-        for i in range(N):
-            base = i * 4 * n
-            commit_pts[i] = [
-                TEdwardsPoint(tomEdwards256, xs[base + t], ys[base + t])
-                for t in range(4 * n)
-            ]
+        with stage("gk.commits"):
+            vals: list[int] = []
+            blinds: list[int] = []
+            for i in range(N):
+                vals += eli[i]
+                vals += ai[i]
+                vals += [eli[i][j] * ai[i][j] % order for j in range(n)]
+                vals += list(di_all[i])
+                blinds += ri[i] + si[i] + ti[i] + rho[i]
+            cx, cy = _gk_commit_device(
+                jnp.asarray(dev.comb_g_tom),
+                jnp.asarray(dev.comb_h_tom),
+                jnp.asarray(fo.pack([v % order for v in vals])),
+                jnp.asarray(fo.pack(blinds)),
+            )
+            xs = tom_ops.f.unpack_canonical(cx)
+            ys = tom_ops.f.unpack_canonical(cy)
+            for i in range(N):
+                base = i * 4 * n
+                commit_pts[i] = [
+                    TEdwardsPoint(tomEdwards256, xs[base + t], ys[base + t])
+                    for t in range(4 * n)
+                ]
         # batched challenge x = H(cl || ca || cb || cd) per instance
         # (gk.ts:179-180; statement deliberately NOT hashed, quirk list
         # SURVEY 7.5) straight from the device affine bytes
@@ -261,6 +279,8 @@ def batch_prove_membership(
         )
 
     # responses + proof assembly (host; small)
+    _asm = stage("gk.assemble")
+    _asm.__enter__()
     proofs = []
     for i in range(N):
         di = di_all[i]
@@ -292,6 +312,7 @@ def batch_prove_membership(
         for j in range(n):
             zd = (zd - rho[i][j] * pow(x, j, order)) % order
         proofs.append(GKProof(cl, ca, cb, cd, f, za, zb, c.new_scalar(zd)))
+    _asm.__exit__(None, None, None)
     return proofs
 
 

@@ -87,8 +87,9 @@ def _vphase_fn(dev):
 def vphase(tabs, R, z1d, md, bits, rb):
     """R [N,3,L] packed P-256 points; z1d [N,64] digits; md [N,S,64]
     digits (alpha or z per sampled round); bits [N,S] bool; rb
-    [N,S,2,L] Tom-order blinding limbs (std).  Everything the exp
-    verifier needs from the device in one pass."""
+    [N,S,2,L] Tom-order blinding limbs (std, uint8-shipped).  Everything
+    the exp verifier needs from the device in one pass."""
+    rb = rb.astype(jnp.float32)
     # Q = z1*G and the S sampled rounds' T = m*R in ONE windowed-mul
     # scan [N, S+1] (row 0 selects the G table, rows 1..S the per-proof
     # R table) - each scan body costs ~6k HLO ops, so merging matters
@@ -136,7 +137,14 @@ def _msm_rows_fn(group_name: str, T: int):
     ops = _OPS[group_name]
 
     def rows(points, digits):
-        return ops.is_identity(ops.msm_shared(points, digits))
+        # operands arrive uint8 (canonical digits < 128, nibble digits
+        # < 16): 4x less host->device transfer through the tunnel than
+        # f32 (msm.upload was 8% of the round-5 wall); cast on device
+        return ops.is_identity(
+            ops.msm_shared(
+                points.astype(jnp.float32), digits.astype(jnp.int32)
+            )
+        )
 
     return jax.jit(rows)
 
@@ -155,6 +163,7 @@ def _batched_msm_identity(
     rows: list[tuple[list[Point], list[int]]],
     mesh=None,
     t_static: int | None = None,
+    timer=None,
 ) -> np.ndarray:
     """One device dispatch (chunked only when live memory would blow the
     HBM budget): is Σ s_i P_i the identity, per row?  Rows are padded with
@@ -208,23 +217,33 @@ def _batched_msm_identity(
     # the identity, filled from one precomputed packed row instead of
     # going through pack_points per point (the per-point host pack was a
     # visible slice of the verify.msm stage at N=256)
-    real: list[Point] = []
-    scs: list[int] = []
-    for p, s in rows:
-        real.extend(p)
-        scs.extend(s)
-        scs.extend([0] * (T - len(s)))
-    arr_np = np.broadcast_to(
-        ops.pack_points([group.identity()])[0],
-        (N * T, ops.NCOORD, ops.f.nlimbs),
-    ).copy()
-    if real:
-        packed_real = ops.pack_points(real)
-        pos = np.concatenate(
-            [np.arange(len(p)) + i * T for i, (p, _) in enumerate(rows)]
-        ).astype(np.int64)
-        arr_np[pos] = packed_real
-    arr = jnp.asarray(arr_np).reshape(N, T, ops.NCOORD, ops.f.nlimbs)
+    import contextlib
+
+    stage = timer.stage if timer is not None else (
+        lambda _n: contextlib.nullcontext()
+    )
+    with stage("msm.pack_host"):
+        real: list[Point] = []
+        scs: list[int] = []
+        for p, s in rows:
+            real.extend(p)
+            scs.extend(s)
+            scs.extend([0] * (T - len(s)))
+        # uint8 wire: host-packed points are canonical digits < 128
+        arr_np = np.broadcast_to(
+            ops.pack_points([group.identity()])[0].astype(np.uint8),
+            (N * T, ops.NCOORD, ops.f.nlimbs),
+        ).copy()
+        if real:
+            packed_real = ops.pack_points(real).astype(np.uint8)
+            pos = np.concatenate(
+                [np.arange(len(p)) + i * T for i, (p, _) in enumerate(rows)]
+            ).astype(np.int64)
+            arr_np[pos] = packed_real
+    with stage("msm.upload"):
+        arr = jax.block_until_ready(
+            jnp.asarray(arr_np).reshape(N, T, ops.NCOORD, ops.f.nlimbs)
+        )
     min_t = get_config().pippenger_min_t
     use_pip = bool(min_t) and T >= min_t
     point_row = T * ops.NCOORD * ops.f.nlimbs * 4
@@ -246,15 +265,119 @@ def _batched_msm_identity(
                 a = shard_batch(mesh, a)
             out.append(np.asarray(ispot(ops.msm_pippenger_rows(a, srows))))
         return np.concatenate(out)
-    digits = jnp.asarray(nibble_digits(scs).reshape(N, T, 64))
+    with stage("msm.digits"):
+        digits = jnp.asarray(
+            nibble_digits(scs).astype(np.uint8).reshape(N, T, 64)
+        )
     fn = _msm_rows_fn(group.name, T)
     out = []
-    for i in range(0, N, chunk):
-        a, d = arr[i : i + chunk], digits[i : i + chunk]
-        if mesh is not None and a.shape[0] % ndev == 0:
-            a, d = shard_batch(mesh, a), shard_batch(mesh, d)
-        out.append(np.asarray(fn(a, d)))
+    with stage("msm.device"):
+        for i in range(0, N, chunk):
+            a, d = arr[i : i + chunk], digits[i : i + chunk]
+            if mesh is not None and a.shape[0] % ndev == 0:
+                a, d = shard_batch(mesh, a), shard_batch(mesh, d)
+            out.append(np.asarray(fn(a, d)))
     return np.concatenate(out)
+
+
+_COMB_W = 8192  # combined-MSM sub-row width (see _combined_msm_identity)
+
+
+def _combined_msm_identity(
+    group: Group,
+    rows: list[tuple[list[Point], list[int]]],
+    mesh=None,
+    t_static: int | None = None,
+    timer=None,
+) -> np.ndarray:
+    """Hierarchical batch identity check.
+
+    Every row already sums to the identity for a valid proof, so one MORE
+    random-linear-combination level collapses the whole batch: scale row
+    i's scalars by a fresh verifier-internal random r_i, concatenate all
+    pairs, and evaluate ONE combined MSM over wide static sub-rows
+    (identity-padded to a multiple of _COMB_W lanes; the sub-row sums add
+    up on device and the total is identity-checked).  If any row were
+    non-identity, the combined sum survives with probability
+    1 - 1/order (same soundness argument as Relation.drain,
+    multimult.ts:147-174).  Honest batches - the common case - therefore
+    pay ~79 * total_real_terms Straus adds instead of
+    ~79 * N * padded_row_T (~1.6x less at ring 2^12: rows average ~450
+    of the 760-lane worst-case bound).  Only on a combined-check failure
+    does the per-row dispatch run to attribute the failure - a deliberate
+    latency trade against adversarial batches."""
+    import contextlib
+
+    from ..bignum import big as _big
+
+    stage = timer.stage if timer is not None else (
+        lambda _n: contextlib.nullcontext()
+    )
+    N = len(rows)
+    if N == 0:
+        return np.zeros(0, dtype=bool)
+    ops = _OPS[group.name]
+    order = group.order
+    total = sum(len(p) for p, _ in rows)
+    # the combined path wins only when the batch is big enough to fill
+    # its fixed [4, W] dispatch blocks (shape stability: one compiled
+    # shape, ever); small batches keep the per-row path
+    if total < 4 * _COMB_W:
+        return _batched_msm_identity(
+            group, rows, mesh=mesh, t_static=t_static, timer=timer
+        )
+    with stage("msm.combine_host"):
+        pts: list[Point] = []
+        scs: list[int] = []
+        for p, s in rows:
+            r = _big.rnd(order)
+            pts.extend(p)
+            scs.extend(r * v % order for v in s)
+        k = 4 * -(-total // (4 * _COMB_W))  # sub-rows, multiple of 4
+        pad = k * _COMB_W - total
+        arr_np = np.empty(
+            (k * _COMB_W, ops.NCOORD, ops.f.nlimbs), np.uint8
+        )
+        arr_np[:total] = ops.pack_points(pts).astype(np.uint8)
+        arr_np[total:] = ops.pack_points([group.identity()])[0].astype(
+            np.uint8
+        )
+        scs.extend([0] * pad)
+    with stage("msm.upload"):
+        arr = jax.block_until_ready(
+            jnp.asarray(arr_np).reshape(k, _COMB_W, ops.NCOORD, ops.f.nlimbs)
+        )
+    with stage("msm.digits"):
+        digits = jnp.asarray(
+            nibble_digits(scs).astype(np.uint8).reshape(k, _COMB_W, 64)
+        )
+    with stage("msm.device"):
+        # fixed [4, W] dispatch blocks; partial sums combine on device
+        acc = None
+        fn = _msm_sum_fn(group.name)
+        for i in range(0, k, 4):
+            part = fn(arr[i : i + 4], digits[i : i + 4])
+            acc = part if acc is None else ops.add(acc, part)
+        all_ok = bool(np.asarray(ops.is_identity(acc)))
+    if all_ok:
+        return np.ones(N, dtype=bool)
+    # attribution path: some row failed - fall back to per-row checks
+    return _batched_msm_identity(
+        group, rows, mesh=mesh, t_static=t_static, timer=timer
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _msm_sum_fn(group_name: str):
+    ops = _OPS[group_name]
+
+    def rows(points, digits):
+        parts = ops.msm_shared(
+            points.astype(jnp.float32), digits.astype(jnp.int32)
+        )  # [k, C, L]
+        return ops.sum_reduce(parts, axis=0)
+
+    return jax.jit(rows)
 
 
 class BatchVerifier:
@@ -482,11 +605,14 @@ class BatchVerifier:
                 rows_w.append(multiW.pairs())
                 rows_n.append(multiN.pairs())
 
-        # ---- device MSMs (one dispatch per curve) ----
-        with stage("verify.msm"):
-            t_w, t_n = self._t_static(n, S)
-            ok_w = _batched_msm_identity(pg.c, rows_w, mesh=mesh, t_static=t_w)
-            ok_n = _batched_msm_identity(p256, rows_n, mesh=mesh, t_static=t_n)
+        # ---- device MSMs (one dispatch per curve); sub-stages msm.* ----
+        t_w, t_n = self._t_static(n, S)
+        ok_w = _combined_msm_identity(
+            pg.c, rows_w, mesh=mesh, t_static=t_w, timer=timer
+        )
+        ok_n = _combined_msm_identity(
+            p256, rows_n, mesh=mesh, t_static=t_n, timer=timer
+        )
         return [bool(ok[i] and ok_w[i] and ok_n[i]) for i in range(N)]
 
     @staticmethod
