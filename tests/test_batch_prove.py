@@ -70,3 +70,40 @@ def test_batched_proof_bound_to_instance(setup):
     params, msgs, ring, host_proofs, batch_proofs = setup
     # proof for instance 0 must not verify for instance 1's message
     assert not verify_signature_list(params, msgs[1], ring, batch_proofs[0])
+
+
+@pytest.mark.slow
+def test_chunked_prove_bit_identical():
+    """N > MAX_CHUNK chunks transparently and stays bit-identical to the
+    unchunked prover under the same tapes (config-4 batch sizes rely on
+    this: the comb4 tables bound one dispatch at ~256 instances)."""
+    import hashlib
+
+    from zkecdsa_tpu import ecdsa
+    from zkecdsa_tpu.protocol.batch import BatchProver
+    from zkecdsa_tpu.serde import write_json
+    from zkecdsa_tpu.zkp_attest_list import SignatureProofList
+
+    with rng.deterministic(41):
+        params = generate_params_list()
+        msgs, sigs, pubs, whichs, ring = [], [], [], [], []
+        for i in range(2):
+            kp = ecdsa.generate_keypair()
+            msg = f"chunk {i}".encode()
+            sigs.append(ecdsa.sign(kp, msg))
+            pub = ecdsa.export_public_raw(kp)
+            msgs.append(hashlib.sha256(msg).digest())
+            pubs.append(pub)
+            ring.append(ecdsa.key_to_int(pub))
+            whichs.append(i)
+        ring += [23, 29]
+
+    tapes = lambda: [rng.DeterministicSource(600 + i) for i in range(2)]  # noqa: E731
+    base = BatchProver(params).prove(msgs, sigs, pubs, whichs, ring, tapes())
+    chunked_prover = BatchProver(params)
+    chunked_prover.MAX_CHUNK = 1
+    chunked = chunked_prover.prove(msgs, sigs, pubs, whichs, ring, tapes())
+    for b, s in zip(base, chunked):
+        assert write_json(SignatureProofList, s) == write_json(
+            SignatureProofList, b
+        )

@@ -424,12 +424,105 @@ def phase_b(tabs, T, D, TxC, TyC, pkX, pkY, Tx_v, pkx_v, pky_v, pky_r,
         "ints": [u8(v) for v in ints_std],
     }
 
+def phase_b_flat(tabs, T, D, TxC, TyC, pkX, pkY, Tx_v, pkx_v, pky_v, pky_r,
+                 txr_e, com_vals, com_blinds, srcid):
+    """Flat-row variant of :func:`phase_b` for the UNSHARDED path.
+
+    The [N, E] layout pads every instance to the batch's quantized max
+    even-round count (E=56 for ~40 real rounds: ~29% of the dominant
+    commit-stack/affine work is padding).  Here all real even rounds
+    flatten to one [K] row axis (K = total evens quantized to a
+    multiple of 512 - binomial concentration makes the bucket stable
+    across batches): ``srcid`` [K] holds each row's flattened (i*80+j)
+    phase-A index, per-round device data is gathered from the
+    [N*80, ...] views, and per-instance host-packed scalars arrive
+    pre-expanded to [K].  Padding rows repeat the last real row.  The
+    dp-sharded path keeps :func:`phase_b`: a global row gather would
+    break GSPMD's per-shard locality (cross-shard all-gathers), while
+    [N, E] partitions cleanly on the instance axis.
+
+    Same math row-for-row as phase_b; tests assert identical wire
+    bytes."""
+    pkx_v, pky_v, pky_r, txr_e, com_vals, com_blinds = (
+        v.astype(jnp.float32)
+        for v in (pkx_v, pky_v, pky_r, txr_e, com_vals, com_blinds)
+    )
+    NR = T.shape[0] * T.shape[1]
+    inst = srcid // SECPARAM  # [K] instance of each row
+
+    def rounds(arr):  # [N, 80, ...] -> [K, ...]
+        return arr.reshape((NR,) + arr.shape[2:])[srcid]
+
+    def per_inst(arr):  # [N, ...] -> [K, ...]
+        return arr[inst]
+
+    TxC, TyC, Tx_v, T_e = (a for a in map(rounds, (TxC, TyC, Tx_v, T)))
+    pkX, pkY, D = per_inst(pkX), per_inst(pkY), per_inst(D)
+    # T1 = T + D (see phase_b)
+    T1 = p256_ops.add(T_e, D)
+    t1x, t1y, _ = nist_affine_std(T1)
+    t1x_m, t1y_m = fo.to_mont(t1x), fo.to_mont(t1y)
+    pkx_m, pky_m = fo.to_mont(pkx_v), fo.to_mont(pky_v)
+    txv_m = fo.to_mont(Tx_v)
+    i7 = fo.sub(pkx_m, t1x_m)
+    i8 = fo.batch_inv(i7)
+    i9 = fo.sub(pky_m, t1y_m)
+    i10 = fo.mul(i8, i9)
+    i11 = fo.mul(i10, i10)
+    i12 = fo.sub(t1x_m, txv_m)
+    i13 = fo.mul(i10, i12)
+    ints_std = [fo.canon(v) for v in (i7, i8, i9, i10, i11, i12, i13)]
+    ys = [i8, i9, i10, i12]
+    xs = [i7, i8, i10, i10]
+    rb = [
+        com_blinds[..., 2, :],
+        fo.sub(pky_r, com_blinds[..., 1, :]),
+        com_blinds[..., 3, :],
+        fo.sub(com_blinds[..., 0, :], txr_e),
+    ]
+    kx = com_vals[..., 6:10, :]
+    ext_vals = fo.canon(jnp.stack(
+        [fo.mul(x, y) for x, y in zip(xs, ys)]
+        + [fo.mul(kx[..., j, :], ys[j]) for j in range(4)],
+        axis=-2,
+    ))
+    ext_blinds = fo.canon(jnp.stack(
+        [fo.mul(x, r) for x, r in zip(xs, rb)]
+        + [fo.mul(kx[..., j, :], rb[j]) for j in range(4)],
+        axis=-2,
+    ))
+    fills = [t1x, t1y, ints_std[1], ints_std[3], ints_std[4], ints_std[6]]
+    com_vals = com_vals.at[..., :6, :].set(jnp.stack(fills, axis=-2))
+    commits = tom_ops.double_mul_comb_mixed(
+        tabs["g_t8"],
+        _bytes_host(fo, jnp.concatenate([com_vals, ext_vals], axis=-2)),
+        tabs["h_t8"],
+        _bytes_host(fo, jnp.concatenate([com_blinds, ext_blinds], axis=-2)),
+    )  # [K, BK+8, 4, L]
+    T1xC = commits[..., 0, :, :]
+    T1yC = commits[..., 1, :, :]
+    C9 = tom_ops.add(pkY, tom_ops.neg(T1yC))
+    C12 = tom_ops.add(T1xC, tom_ops.neg(TxC))
+    C7 = tom_ops.add(pkX, tom_ops.neg(T1xC))
+    cintX = tom_ops.add(tom_ops.add(TxC, T1xC), pkX)
+    cintY = tom_ops.add(TyC, T1yC)
+    combos = jnp.stack([C7, C9, C12, cintX, cintY], axis=-3)
+    tom_stack = jnp.concatenate([commits, combos], axis=-3)
+    sx, sy = tom_affine_std(tom_stack)  # [K, NSLOT, L]
+    u8 = lambda v: v.astype(jnp.uint8)  # noqa: E731
+    return {
+        "tom_aff": (u8(sx), u8(sy)),
+        "ints": [u8(v) for v in ints_std],
+    }
+
+
 # Whole-phase jit: every building block inside is scan-based, so the
 # phase modules stay small enough to compile, and on the tunneled TPU
 # backend eager composition costs ~1-15 ms per dispatched op (eager
 # lax.scan is interpreted) - phases MUST be single compiled programs.
 _PHASE_A = jax.jit(phase_a)
 _PHASE_B = jax.jit(phase_b)
+_PHASE_B_FLAT = jax.jit(phase_b_flat)
 
 
 # Slot order of the stacked phase-B Pedersen commitments.  Values for slots
@@ -584,6 +677,14 @@ class BatchProver:
             for f in futs:
                 f.result()
 
+    # Largest sub-batch one prove dispatch handles: the phase-A comb4
+    # tables cost ~12 MB/instance HBM ([64, 16, 3, L] f32), so 256
+    # instances peak around 3 GB transient - comfortable on a 16 GB
+    # chip next to the resident base tables.  Bigger batches (configs
+    # 4/5: 1024-4096 proofs) chunk transparently: instances are
+    # independent, so chunked proofs are bit-identical to unchunked.
+    MAX_CHUNK = 256
+
     def prove(
         self,
         msg_hashes: Sequence[bytes],
@@ -595,6 +696,24 @@ class BatchProver:
         timer=None,
     ) -> list[SignatureProofList]:
         import contextlib
+
+        N_all = len(msg_hashes)
+        if N_all > self.MAX_CHUNK:
+            if tapes is None:
+                tapes = [rng.get_source() for _ in range(N_all)]
+            step = self.MAX_CHUNK
+            if self.mesh is not None:
+                dp = self.mesh.shape["dp"]
+                step = max(dp, step - step % dp)
+            out: list[SignatureProofList] = []
+            for lo in range(0, N_all, step):
+                hi = min(lo + step, N_all)
+                out.extend(self.prove(
+                    msg_hashes[lo:hi], sig_bytes[lo:hi],
+                    public_keys_raw[lo:hi], whichs[lo:hi], keys,
+                    tapes[lo:hi], timer=timer,
+                ))
+            return out
 
         stage = timer.stage if timer is not None else (lambda _n: contextlib.nullcontext())
         params = self.params
@@ -782,53 +901,94 @@ class BatchProver:
         _tape_b.__exit__(None, None, None)
 
         # compacted even-round axis: only even-challenge rounds reach the
-        # device (the host knows the challenge bits here; see phase_b
-        # docstring).  E = per-batch max even count, quantized so compiled
-        # phase-B shapes stay few.
+        # device (the host knows the challenge bits here).  Unsharded:
+        # ONE flat [K] row axis over all instances' even rounds
+        # (phase_b_flat; zero per-instance padding, K quantized to a
+        # multiple of 512).  dp-sharded: the [N, E] layout (phase_b; E =
+        # per-batch max even count quantized to {48, 56, 64, 80}), which
+        # partitions on the instance axis without cross-shard gathers.
         _pack_b = stage("phase_b.pack")
         _pack_b.__enter__()
         even_idx = [
             [j for j in range(SECPARAM) if even_mask[i][j]] for i in range(N)
         ]
         cnt = np.array([len(r) for r in even_idx], np.int64)
-        mx = int(cnt.max()) if N else 0
-        E = next(e for e in (48, 56, 64, SECPARAM) if mx <= e)
-        eidx_np = np.zeros((N, E), np.int32)
-        for i, r in enumerate(even_idx):
-            eidx_np[i, : len(r)] = r
-            eidx_np[i, len(r) :] = r[-1] if r else 0  # pad: repeat last
-        # stacked commit inputs [N, E, BK, L] in _SLOT order (even rounds)
-        vals_rows, blind_rows = [], []
-        txr_even = []
-        for i in range(N):
-            for j in eidx_np[i]:
-                txr_even.append(txr[i][j])
+        flat = mesh is None
+
+        def commit_rows(pairs):
+            """[_SLOT]-ordered commit stack inputs for (i, j) rows."""
+            vals_rows, blind_rows, txr_rows = [], [], []
+            for i, j in pairs:
+                txr_rows.append(txr[i][j])
                 vals_rows += [0] * 6  # device fills t1x,t1y,i8,i10,i11,i13
                 vals_rows += kx[i][j] + ky[i][j] + kz[i][j] + kz[i][j]
                 vals_rows += keq[i][j] + keq[i][j]
                 blind_rows += [tape_b[nm][i][j] for nm in names_b]
                 blind_rows += axr[i][j] + ayr[i][j] + azr[i][j] + a41r[i][j]
                 blind_rows += a1r[i][j] + a2r[i][j]
-        com_vals = shard_batch(
-            mesh, _pk_scalars(fo, vals_rows).reshape(N, E, BK, -1)
-        )
-        com_blinds = shard_batch(
-            mesh, _pk_scalars(fo, blind_rows).reshape(N, E, BK, -1)
-        )
+            return vals_rows, blind_rows, txr_rows
+
+        if flat:
+            pairs = [(i, j) for i in range(N) for j in even_idx[i]]
+            K_real = len(pairs)
+            if not pairs:  # all-odd challenges across the whole batch
+                pairs = [(0, 0)]
+            quantum = 64 if K_real <= 512 else 512
+            K = max(quantum, -(-K_real // quantum) * quantum)
+            pairs_p = pairs + [pairs[-1]] * (K - K_real)
+            vals_rows, blind_rows, txr_even = commit_rows(pairs_p)
+            srcid = np.array(
+                [i * SECPARAM + j for i, j in pairs_p], np.int32
+            )
+            com_vals = _pk_scalars(fo, vals_rows).reshape(K, BK, -1)
+            com_blinds = _pk_scalars(fo, blind_rows).reshape(K, BK, -1)
+            pkxv_r = pack_o([pk_coords[i][0] for i, _ in pairs_p])
+            pkyv_r = pack_o([pk_coords[i][1] for i, _ in pairs_p])
+            pkyr_r = pack_o([pky_r[i] for i, _ in pairs_p])
+            txr_e = _pk_scalars(fo, txr_even)
+        else:
+            mx = int(cnt.max()) if N else 0
+            E = next(e for e in (48, 56, 64, SECPARAM) if mx <= e)
+            eidx_np = np.zeros((N, E), np.int32)
+            for i, r in enumerate(even_idx):
+                eidx_np[i, : len(r)] = r
+                eidx_np[i, len(r) :] = r[-1] if r else 0  # pad: repeat last
+            vals_rows, blind_rows, txr_even = commit_rows(
+                [(i, j) for i in range(N) for j in eidx_np[i]]
+            )
+            com_vals = shard_batch(
+                mesh, _pk_scalars(fo, vals_rows).reshape(N, E, BK, -1)
+            )
+            com_blinds = shard_batch(
+                mesh, _pk_scalars(fo, blind_rows).reshape(N, E, BK, -1)
+            )
         _pack_b.__exit__(None, None, None)
 
         with stage("phase_b.device"):
-            b = self.phase_b(
-                self.tabs, a["T"], a["D"],
-                a["TC"][..., 0, :, :], a["TC"][..., 1, :, :],
-                a["pkC"][..., 0, :, :], a["pkC"][..., 1, :, :],
-                jnp.asarray(a["T_v"][0]),
-                pack_o([c[0] for c in pk_coords]), pack_o([c[1] for c in pk_coords]),
-                pack_o(pky_r),
-                shard_batch(mesh, _pk_scalars(fo, txr_even).reshape(N, E, -1)),
-                com_vals, com_blinds,
-                shard_batch(mesh, jnp.asarray(eidx_np)),
-            )
+            if flat:
+                b = _PHASE_B_FLAT(
+                    self.tabs, a["T"], a["D"],
+                    a["TC"][..., 0, :, :], a["TC"][..., 1, :, :],
+                    a["pkC"][..., 0, :, :], a["pkC"][..., 1, :, :],
+                    jnp.asarray(a["T_v"][0]),
+                    pkxv_r, pkyv_r, pkyr_r, txr_e,
+                    com_vals, com_blinds, jnp.asarray(srcid),
+                )
+            else:
+                b = self.phase_b(
+                    self.tabs, a["T"], a["D"],
+                    a["TC"][..., 0, :, :], a["TC"][..., 1, :, :],
+                    a["pkC"][..., 0, :, :], a["pkC"][..., 1, :, :],
+                    jnp.asarray(a["T_v"][0]),
+                    pack_o([c[0] for c in pk_coords]),
+                    pack_o([c[1] for c in pk_coords]),
+                    pack_o(pky_r),
+                    shard_batch(
+                        mesh, _pk_scalars(fo, txr_even).reshape(N, E, -1)
+                    ),
+                    com_vals, com_blinds,
+                    shard_batch(mesh, jnp.asarray(eidx_np)),
+                )
             # async dispatch: device->host copies are queued immediately
             # (they run on the DMA engines behind the phase-B compute) and
             # the GK membership stage below does its host prep + device
@@ -856,22 +1016,27 @@ class BatchProver:
         )
 
         with stage("phase_b.unpack"):
-            # The compacted [N, E] rows are valid for the first cnt[i]
-            # entries of each instance; valid entries in row-major order
-            # correspond 1:1 (same (i, ascending j) order) to the True
-            # entries of even_mask, so ``pos`` maps (i, j) to a row of the
-            # masked unpack arrays.  The five combo slots (C7/C9/C12/
-            # CIX/CIY) are hash inputs only: serialized to bytes below,
-            # never unpacked to ints.
+            # Valid rows in row-major order correspond 1:1 (same
+            # (i, ascending j) order) to the True entries of even_mask,
+            # so ``pos`` maps (i, j) to a row of the unpack arrays - for
+            # the flat layout the valid rows are simply the first K_real,
+            # for [N, E] the first cnt[i] entries of each instance.  The
+            # five combo slots (C7/C9/C12/CIX/CIY) are hash inputs only:
+            # serialized to bytes below, never unpacked to ints.
             emask = np.asarray(even_mask)  # [N, 80]
-            sel = np.arange(E)[None, :] < cnt[:, None]  # [N, E]
             pos = np.full((N, SECPARAM), -1, np.int64)
             pos[emask] = np.arange(int(emask.sum()))
-            ints = [
-                _unp(fo, np.asarray(v)[sel]) for v in b["ints"]
-            ]  # 7 x [K]
-            ex = np.asarray(b["tom_aff"][0])[sel]  # [K, NSLOT, L]
-            ey = np.asarray(b["tom_aff"][1])[sel]
+            if flat:
+                ints = [
+                    _unp(fo, np.asarray(v)[:K_real]) for v in b["ints"]
+                ]  # 7 x [K_real]
+                ex = np.asarray(b["tom_aff"][0])[:K_real]  # [K, NSLOT, L]
+                ey = np.asarray(b["tom_aff"][1])[:K_real]
+            else:
+                sel = np.arange(E)[None, :] < cnt[:, None]  # [N, E]
+                ints = [_unp(fo, np.asarray(v)[sel]) for v in b["ints"]]
+                ex = np.asarray(b["tom_aff"][0])[sel]
+                ey = np.asarray(b["tom_aff"][1])[sel]
             tom_x = _unp(tom_ops.f, ex[:, : BK + 8])
             tom_y = _unp(tom_ops.f, ey[:, : BK + 8])
 
