@@ -402,6 +402,12 @@ class BatchVerifier:
         self.tabs = replicate(mesh, self.dev.tabs())
         self.vphase = _vphase_fn(self.dev)
 
+    # Largest sub-batch one verify pass handles; beyond it the batch
+    # chunks transparently (proofs are independent) so config-4 batch
+    # sizes reuse the compiled 256-instance programs instead of paying
+    # fresh vphase/recombine compiles per batch size.
+    MAX_CHUNK = 256
+
     def verify(
         self,
         msg_hashes: Sequence[bytes],
@@ -410,6 +416,20 @@ class BatchVerifier:
         timer=None,
     ) -> list[bool]:
         import contextlib
+
+        N_all = len(proofs)
+        if N_all > self.MAX_CHUNK:
+            step = self.MAX_CHUNK
+            if self.mesh is not None:
+                dp = self.mesh.shape["dp"]
+                step = max(dp, step - step % dp)
+            out: list[bool] = []
+            for lo in range(0, N_all, step):
+                hi = min(lo + step, N_all)
+                out.extend(self.verify(
+                    msg_hashes[lo:hi], keys, proofs[lo:hi], timer=timer
+                ))
+            return out
 
         stage = timer.stage if timer is not None else (lambda _n: contextlib.nullcontext())
         params = self.params
