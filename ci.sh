@@ -37,7 +37,23 @@ PYEOF
 echo "== e2e walkthrough (host scalar path)"
 PYTHONPATH=. timeout 600 python examples/usage.py >/dev/null
 
-echo "== test suite (virtual 8-device CPU mesh)"
-python -m pytest tests/ -q
+echo "== test suite (virtual 8-device CPU mesh, two process groups)"
+# Two pytest processes, protocol-heavy modules separate from the rest:
+# XLA:CPU can segfault deserializing a cached executable late in one
+# long process holding many big compiled programs (the round-4 crash
+# class, reproduced round 5 at tests/test_curve_ops after the batch
+# modules; every module passes in a young process).  Sequential
+# processes share the cache dir safely.
+python -m pytest -q \
+  tests/test_batch_gk.py tests/test_batch_prove.py \
+  tests/test_batch_verify.py tests/test_mesh.py tests/test_mesh_ring.py \
+  tests/test_pipeline_gate.py tests/test_msm_bucket.py \
+  tests/test_hardened.py tests/test_golden_vectors.py
+python -m pytest -q \
+  --ignore=tests/test_batch_gk.py --ignore=tests/test_batch_prove.py \
+  --ignore=tests/test_batch_verify.py --ignore=tests/test_mesh.py \
+  --ignore=tests/test_mesh_ring.py --ignore=tests/test_pipeline_gate.py \
+  --ignore=tests/test_msm_bucket.py --ignore=tests/test_hardened.py \
+  --ignore=tests/test_golden_vectors.py tests/
 
 echo "CI gate green"

@@ -4,6 +4,14 @@ Device tests run on a virtual 8-device CPU mesh (multi-chip shardings are
 validated without TPU hardware, per the build contract); host-layer tests
 never touch JAX.
 
+PROCESS-SCOPE CAVEAT (round 5): running the WHOLE suite in one process
+(`pytest tests/`) can segfault inside XLA:CPU's cached-executable
+deserialization ~30 tests in, once many big compiled programs are
+resident - every module passes in a young process and the cache entries
+themselves are fine.  ci.sh therefore runs the suite as two sequential
+pytest processes (protocol-heavy modules, then the rest); use it (or
+per-module runs) rather than one monolithic invocation.
+
 The environment's sitecustomize registers the tunneled-TPU (axon) backend
 and imports jax at interpreter boot, freezing ``jax_platforms`` before any
 conftest code runs - so overriding the env var here is NOT enough; the
